@@ -1,0 +1,12 @@
+"""CTC decoding: label converter, host beam search, and on-device decoders."""
+
+from ocrfa_tpu.decode.converter import CTCLabelConverter
+from ocrfa_tpu.decode.beam import ctc_beam_search
+from ocrfa_tpu.decode.segmentation import consecutive, word_segmentation
+
+__all__ = [
+    "CTCLabelConverter",
+    "ctc_beam_search",
+    "consecutive",
+    "word_segmentation",
+]

@@ -1,0 +1,147 @@
+"""Parity tests for host geometry vs the reference implementation."""
+
+import numpy as np
+import pytest
+
+from ocrfa_tpu.geometry import (
+    diff,
+    four_point_transform,
+    get_image_list,
+    get_paragraph,
+    group_text_box,
+    merge_to_free,
+    perspective_transform,
+    warp_perspective,
+)
+
+
+def random_quads(rng, n, mostly_horizontal=True):
+    quads = []
+    for _ in range(n):
+        x, y = rng.uniform(0, 800, 2)
+        w = rng.uniform(20, 200)
+        h = rng.uniform(10, 40)
+        if mostly_horizontal and rng.random() < 0.7:
+            jit = rng.uniform(-1, 1, 8)
+        else:
+            jit = rng.uniform(-15, 15, 8)
+        quad = np.array([x, y, x + w, y, x + w, y + h, x, y + h]) + jit
+        quads.append(quad)
+    return quads
+
+
+class TestGroupTextBox:
+    @pytest.mark.parametrize("seed", range(8))
+    def test_matches_reference(self, ref_utils, seed):
+        rng = np.random.default_rng(seed)
+        polys = random_quads(rng, rng.integers(1, 25))
+        for sort_output in (True, False):
+            ours_h, ours_f = group_text_box(polys, 0.1, 0.5, 0.5, 0.5, 0.1, sort_output)
+            ref_h, ref_f = ref_utils.group_text_box(polys, 0.1, 0.5, 0.5, 0.5, 0.1, sort_output)
+            np.testing.assert_allclose(ours_h, ref_h)
+            assert len(ours_f) == len(ref_f)
+            for a, b in zip(ours_f, ref_f):
+                np.testing.assert_allclose(a, b)
+
+    def test_empty(self, ref_utils):
+        assert group_text_box([]) == ([], [])
+
+
+class TestParagraph:
+    @pytest.mark.parametrize("seed", range(5))
+    @pytest.mark.parametrize("mode", ["ltr", "rtl"])
+    def test_matches_reference(self, ref_utils, seed, mode):
+        rng = np.random.default_rng(seed)
+        raw = []
+        for i in range(rng.integers(1, 15)):
+            x, y = rng.uniform(0, 500, 2)
+            w, h = rng.uniform(30, 150), rng.uniform(10, 30)
+            box = [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
+            raw.append((box, f"word{i}", 0.9))
+        ours = get_paragraph([list(r) for r in raw], mode=mode)
+        ref = ref_utils.get_paragraph([list(r) for r in raw], mode=mode)
+        assert ours == ref
+
+
+class TestMergeToFree:
+    @staticmethod
+    def _box(x, y, w=50, h=20):
+        return [[x, y], [x + w, y], [x + w, y + h], [x, y + h]]
+
+    def test_matches_reference(self, ref_utils):
+        # NB: the reference's row-insertion scan (utils.py:1199-1209) only
+        # terminates when there are >= 2 rows and each free box sits above
+        # some row i >= 1; we reproduce, not fix, that domain.
+        rows = [
+            [self._box(10, 100), self._box(80, 100), self._box(160, 100)],
+            [self._box(10, 200), self._box(90, 200)],
+            [self._box(20, 300), self._box(100, 300)],
+        ]
+        results = []
+        for ri, row in enumerate(rows):
+            for ci, b in enumerate(row):
+                results.append((b, f"r{ri}c{ci}", 0.5))
+        for case_free in (
+            [self._box(5, 150)],                      # between rows 0 and 1
+            [self._box(5, 150), self._box(200, 40)],  # plus one above row 0
+            [],
+        ):
+            full = list(results) + [(b, "free", 0.4) for b in case_free]
+            ours = merge_to_free(list(full), case_free)
+            ref = ref_utils.merge_to_free(list(full), case_free)
+            assert ours == ref
+
+    def test_diff(self, ref_utils):
+        assert diff([3, 9, 1]) == ref_utils.diff([3, 9, 1]) == 8
+
+
+class TestPerspective:
+    def test_identity(self):
+        src = [[0, 0], [10, 0], [10, 10], [0, 10]]
+        m = perspective_transform(src, src)
+        np.testing.assert_allclose(m, np.eye(3), atol=1e-9)
+
+    def test_known_scale(self):
+        src = [[0, 0], [10, 0], [10, 10], [0, 10]]
+        dst = [[0, 0], [20, 0], [20, 20], [0, 20]]
+        m = perspective_transform(src, dst)
+        pt = m @ np.array([5, 5, 1.0])
+        np.testing.assert_allclose(pt[:2] / pt[2], [10, 10], atol=1e-9)
+
+    def test_warp_identity_roundtrip(self):
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (20, 30), dtype=np.uint8)
+        out = warp_perspective(img, np.eye(3), (30, 20))
+        np.testing.assert_array_equal(out, img)
+
+    def test_four_point_axis_aligned(self):
+        img = np.zeros((40, 60), dtype=np.uint8)
+        img[10:30, 20:50] = 200
+        rect = np.array([[20, 10], [49, 10], [49, 29], [20, 29]], dtype=np.float32)
+        crop = four_point_transform(img, rect)
+        assert crop.shape == (19, 29)
+        assert crop.mean() > 150
+
+
+class TestGetImageList:
+    def test_horizontal_crop_shapes(self):
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (200, 400), dtype=np.uint8)
+        h_list = [[10, 200, 20, 60], [0, 400, 80, 120]]
+        image_list, max_width = get_image_list(h_list, [], img, model_height=64)
+        assert len(image_list) == 2
+        for box, crop in image_list:
+            assert crop.shape[0] == 64
+        # widest crop: 400x40 -> ratio 10 -> width 640
+        assert max_width == 640
+        # sorted by top y
+        assert image_list[0][0][0][1] <= image_list[1][0][0][1]
+
+    def test_free_box(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 255, (200, 400), dtype=np.uint8)
+        free = [[[50, 50], [150, 60], [145, 90], [45, 80]]]
+        image_list, max_width = get_image_list([], free, img, model_height=64)
+        assert len(image_list) == 1
+        assert image_list[0][1].shape[0] == 64
+        assert max_width % 64 == 0
