@@ -1,0 +1,214 @@
+"""Checkpoint conversion and persistence.
+
+Converts reference torch ``.pth``/``.pt`` state dicts (downloaded from the
+reference model zoo, registry.py) into this framework's parameter pytrees,
+and persists native checkpoints via Orbax.
+
+Key-name contracts come from the reference module trees:
+* CRNN gen1/gen2: ``FeatureExtraction.ConvNet.*``, ``SequenceModeling.{0,1}``,
+  ``Prediction`` (``modules/blocks.py:394-447``).
+* CRAFT: ``basenet.slice*``, ``upconv*``, ``conv_cls`` (``utils.py:48-98``).
+
+Weight layout transforms: torch conv ``(O, I, kh, kw)`` -> HWIO; linear and
+LSTM weights keep torch layout (see :mod:`ocrfa_tpu.ops.lstm`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_numpy(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch checkpoint to numpy, stripping any ``module.`` prefix."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    out = {}
+    for key, value in state.items():
+        if key.startswith("module."):
+            key = key[len("module."):]
+        out[key] = _to_numpy(value)
+    return out
+
+
+def _conv(sd, prefix, bias=False):
+    p = {"w": np.transpose(sd[prefix + ".weight"], (2, 3, 1, 0))}
+    if bias:
+        p["b"] = sd[prefix + ".bias"]
+    return p
+
+
+def _bn(sd, prefix):
+    return {
+        "scale": sd[prefix + ".weight"],
+        "bias": sd[prefix + ".bias"],
+        "mean": sd[prefix + ".running_mean"],
+        "var": sd[prefix + ".running_var"],
+    }
+
+
+def _linear(sd, prefix):
+    return {"w": sd[prefix + ".weight"], "b": sd[prefix + ".bias"]}
+
+
+def _bilstm(sd, prefix):
+    return {
+        "w_ih": sd[f"{prefix}.rnn.weight_ih_l0"],
+        "w_hh": sd[f"{prefix}.rnn.weight_hh_l0"],
+        "b_ih": sd[f"{prefix}.rnn.bias_ih_l0"],
+        "b_hh": sd[f"{prefix}.rnn.bias_hh_l0"],
+        "w_ih_rev": sd[f"{prefix}.rnn.weight_ih_l0_reverse"],
+        "w_hh_rev": sd[f"{prefix}.rnn.weight_hh_l0_reverse"],
+        "b_ih_rev": sd[f"{prefix}.rnn.bias_ih_l0_reverse"],
+        "b_hh_rev": sd[f"{prefix}.rnn.bias_hh_l0_reverse"],
+        "linear_w": sd[f"{prefix}.linear.weight"],
+        "linear_b": sd[f"{prefix}.linear.bias"],
+    }
+
+
+def _res_block(sd, prefix):
+    p = {
+        "conv1": _conv(sd, prefix + ".conv1"),
+        "bn1": _bn(sd, prefix + ".bn1"),
+        "conv2": _conv(sd, prefix + ".conv2"),
+        "bn2": _bn(sd, prefix + ".bn2"),
+    }
+    if prefix + ".downsample.0.weight" in sd:
+        p["downsample"] = {
+            "conv": _conv(sd, prefix + ".downsample.0"),
+            "bn": _bn(sd, prefix + ".downsample.1"),
+        }
+    return p
+
+
+def convert_crnn_gen1(sd: dict) -> dict:
+    """Reference gen1 ``Model`` state dict -> crnn params pytree."""
+    f = "FeatureExtraction.ConvNet"
+    layers = {"layer1": 1, "layer2": 2, "layer3": 5, "layer4": 3}
+    feat = {
+        "conv0_1": _conv(sd, f + ".conv0_1"),
+        "bn0_1": _bn(sd, f + ".bn0_1"),
+        "conv0_2": _conv(sd, f + ".conv0_2"),
+        "bn0_2": _bn(sd, f + ".bn0_2"),
+        "conv1": _conv(sd, f + ".conv1"),
+        "bn1": _bn(sd, f + ".bn1"),
+        "conv2": _conv(sd, f + ".conv2"),
+        "bn2": _bn(sd, f + ".bn2"),
+        "conv3": _conv(sd, f + ".conv3"),
+        "bn3": _bn(sd, f + ".bn3"),
+        "conv4_1": _conv(sd, f + ".conv4_1"),
+        "bn4_1": _bn(sd, f + ".bn4_1"),
+        "conv4_2": _conv(sd, f + ".conv4_2"),
+        "bn4_2": _bn(sd, f + ".bn4_2"),
+    }
+    for name, n in layers.items():
+        feat[name] = [_res_block(sd, f"{f}.{name}.{i}") for i in range(n)]
+    return {
+        "feat": feat,
+        "seq0": _bilstm(sd, "SequenceModeling.0"),
+        "seq1": _bilstm(sd, "SequenceModeling.1"),
+        "pred": _linear(sd, "Prediction"),
+    }
+
+
+def convert_crnn_gen2(sd: dict) -> dict:
+    """Reference gen2 ``VGGModel`` state dict -> crnn params pytree.
+
+    ConvNet indices follow the sequential layout of
+    ``VGGFeatureExtractor.ConvNet`` (blocks.py:115-180).
+    """
+    f = "FeatureExtraction.ConvNet"
+    feat = {
+        "conv0": _conv(sd, f + ".0", bias=True),
+        "conv1": _conv(sd, f + ".3", bias=True),
+        "conv2": _conv(sd, f + ".6", bias=True),
+        "conv3": _conv(sd, f + ".8", bias=True),
+        "conv4": _conv(sd, f + ".11"),
+        "bn4": _bn(sd, f + ".12"),
+        "conv5": _conv(sd, f + ".14"),
+        "bn5": _bn(sd, f + ".15"),
+        "conv6": _conv(sd, f + ".18", bias=True),
+    }
+    return {
+        "feat": feat,
+        "seq0": _bilstm(sd, "SequenceModeling.0"),
+        "seq1": _bilstm(sd, "SequenceModeling.1"),
+        "pred": _linear(sd, "Prediction"),
+    }
+
+
+def convert_craft(sd: dict) -> dict:
+    """Reference CRAFT ``OCRFA`` state dict -> craft params pytree.
+
+    Layer indices per torchvision vgg16_bn features + the reference's
+    slice5/upconv/conv_cls layout (utils.py:48-98, blocks.py:24-82).
+    """
+    # vgg16_bn feature indices: conv at 0,3,7,10,14,17,20,24,27,30,34,37,40
+    # with BN right after each conv; slices 1-4 cover 0-11,12-18,19-28,29-38.
+    def conv_bn(i):
+        return {
+            "conv": _conv(sd, f"basenet.slice{_slice_of(i)}.{i}", bias=True),
+            "bn": _bn(sd, f"basenet.slice{_slice_of(i)}.{i + 1}"),
+        }
+
+    def _slice_of(i):
+        if i < 12:
+            return 1
+        if i < 19:
+            return 2
+        if i < 29:
+            return 3
+        return 4
+
+    basenet = {
+        "stage1": [conv_bn(0), conv_bn(3)],
+        "stage2": [conv_bn(7), conv_bn(10)],
+        "stage3": [conv_bn(14), conv_bn(17), conv_bn(20)],
+        "stage4": [conv_bn(24), conv_bn(27), conv_bn(30)],
+        "stage5": [conv_bn(34), conv_bn(37), conv_bn(40)],
+        # slice5: maxpool(3,1,1), conv 3x3 dil 6, conv 1x1 (blocks.py:51-55)
+        "fc6": _conv(sd, "basenet.slice5.1", bias=True),
+        "fc7": _conv(sd, "basenet.slice5.2", bias=True),
+    }
+
+    def double_conv(name):
+        return {
+            "conv1": _conv(sd, f"{name}.conv.0", bias=True),
+            "bn1": _bn(sd, f"{name}.conv.1"),
+            "conv2": _conv(sd, f"{name}.conv.3", bias=True),
+            "bn2": _bn(sd, f"{name}.conv.4"),
+        }
+
+    return {
+        "basenet": basenet,
+        "upconv1": double_conv("upconv1"),
+        "upconv2": double_conv("upconv2"),
+        "upconv3": double_conv("upconv3"),
+        "upconv4": double_conv("upconv4"),
+        "conv_cls": [
+            _conv(sd, f"conv_cls.{i}", bias=True) for i in (0, 2, 4, 6, 8)
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Orbax persistence
+
+
+def save_pytree(path: str, pytree) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, pytree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)

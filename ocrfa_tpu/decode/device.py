@@ -1,0 +1,60 @@
+"""On-device (XLA) probability post-processing and greedy CTC decode.
+
+The reference's hot decode path pulls the full ``(N, T, C)`` softmax to the
+host, zeroes ignored characters, renormalises, and argmaxes in numpy
+(``/root/reference/src/ocrfa/utils.py:628-649``).  Here the entire
+softmax -> mask -> renormalise -> argmax/max reduction runs on-device; only
+two small ``(N, T)`` arrays (argmax indices, max probabilities) cross back
+over PCIe for the final string collapse.
+
+The ignore mask is passed as a dense ``(C,)`` float vector rather than an
+index list so the jitted function is shape-stable across allowlist changes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("return_probs",))
+def postprocess_logits(logits, keep_mask, return_probs: bool = False):
+    """Softmax + ignore-mask + renormalise; reduce to (argmax, maxprob).
+
+    ``keep_mask``: float ``(C,)``, 1.0 for allowed classes, 0.0 for ignored.
+    Returns ``(indices, values)`` each ``(N, T)``; with ``return_probs`` also
+    the full renormalised ``(N, T, C)`` (for beam decoding).
+    """
+    probs = jax.nn.softmax(logits, axis=2)
+    probs = probs * keep_mask
+    norm = jnp.sum(probs, axis=2, keepdims=True)
+    probs = probs / norm
+    indices = jnp.argmax(probs, axis=2)
+    values = jnp.max(probs, axis=2)
+    if return_probs:
+        return indices, values, probs
+    return indices, values
+
+
+def greedy_confidences(indices: np.ndarray, values: np.ndarray):
+    """Per-row confidence = custom_mean of max probs at non-blank steps
+    (utils.py:650-660)."""
+    from ocrfa_tpu.preproc.host import custom_mean
+
+    out = []
+    for idx_row, val_row in zip(indices, values):
+        max_probs = val_row[idx_row != 0]
+        if len(max_probs) == 0:
+            max_probs = np.array([0.0])
+        out.append(custom_mean(max_probs))
+    return out
+
+
+def keep_mask_for(num_classes: int, ignore_idx) -> np.ndarray:
+    mask = np.ones((num_classes,), dtype=np.float32)
+    ignore = [i for i in ignore_idx if 0 <= i < num_classes]
+    mask[ignore] = 0.0
+    return mask

@@ -1,0 +1,209 @@
+"""CRNN text-line recognizers (gen1 ResNet-CRNN, gen2 VGG-CRNN).
+
+TPU-native re-design of the reference recognizers
+(``/root/reference/src/ocrfa/modules/blocks.py:105-447``):
+
+* gen1 ``Model``: custom ResNet [1,2,5,3] feature extractor with asymmetric
+  strides -> mean-pool over height -> BiLSTM x2 -> linear CTC head
+  (blocks.py:422-447).  This is the Farsi production recognizer
+  (``arabic_g1``: input_channel=1, output_channel=512, hidden=512).
+* gen2 ``VGGModel``: 7-conv VGG extractor -> BiLSTM x2 -> linear
+  (blocks.py:394-419).  The reference's gen2 crashes at construction
+  (undefined ``self.output_channel``, blocks.py:407); this rebuild wires the
+  channel count correctly.
+
+All activations are NHWC; input line crops are ``(N, 64, W, 1)`` float32 in
+[-1, 1].  Time dimension after the extractor is ``W/4 + 1``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ocrfa_tpu.models.layers import (
+    batch_norm,
+    conv2d,
+    init_bn,
+    init_conv,
+    init_linear,
+    init_lstm,
+    linear,
+    max_pool,
+    relu,
+)
+from ocrfa_tpu.ops.lstm import bilstm
+
+# ---------------------------------------------------------------------------
+# gen1 ResNet feature extractor (blocks.py:195-391)
+
+
+def _basic_block(p, x):
+    """BlockB: two 3x3 conv-BN with identity (or 1x1-projected) residual."""
+    residual = x
+    if "downsample" in p:
+        residual = batch_norm(conv2d(x, p["downsample"]["conv"]["w"]), p["downsample"]["bn"])
+    y = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"]))
+    y = batch_norm(conv2d(y, p["conv2"]["w"], padding=1), p["bn2"])
+    return relu(y + residual)
+
+
+def _layer(p_blocks, x):
+    for p in p_blocks:
+        x = _basic_block(p, x)
+    return x
+
+
+def resnet_features(p, x):
+    """gen1 extractor: (N, 64, W, 1) -> (N, 3, W/4+1, C_out)."""
+    x = relu(batch_norm(conv2d(x, p["conv0_1"]["w"], padding=1), p["bn0_1"]))
+    x = relu(batch_norm(conv2d(x, p["conv0_2"]["w"], padding=1), p["bn0_2"]))
+
+    x = max_pool(x, 2, 2)
+    x = _layer(p["layer1"], x)
+    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"]))
+
+    x = max_pool(x, 2, 2)
+    x = _layer(p["layer2"], x)
+    x = relu(batch_norm(conv2d(x, p["conv2"]["w"], padding=1), p["bn2"]))
+
+    x = max_pool(x, 2, stride=(2, 1), padding=(0, 1))
+    x = _layer(p["layer3"], x)
+    x = relu(batch_norm(conv2d(x, p["conv3"]["w"], padding=1), p["bn3"]))
+
+    x = _layer(p["layer4"], x)
+    x = relu(batch_norm(conv2d(x, p["conv4_1"]["w"], stride=(2, 1), padding=(0, 1)), p["bn4_1"]))
+    x = relu(batch_norm(conv2d(x, p["conv4_2"]["w"], stride=1, padding=0), p["bn4_2"]))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# gen2 VGG feature extractor (blocks.py:105-183)
+
+
+def vgg_features(p, x):
+    """gen2 extractor: (N, 64, W, 1) -> (N, 3, W/4-1, C_out)."""
+    x = relu(conv2d(x, p["conv0"]["w"], p["conv0"]["b"], padding=1))
+    x = max_pool(x, 2, 2)
+    x = relu(conv2d(x, p["conv1"]["w"], p["conv1"]["b"], padding=1))
+    x = max_pool(x, 2, 2)
+    x = relu(conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1))
+    x = relu(conv2d(x, p["conv3"]["w"], p["conv3"]["b"], padding=1))
+    x = max_pool(x, (2, 1), (2, 1))
+    x = relu(batch_norm(conv2d(x, p["conv4"]["w"], padding=1), p["bn4"]))
+    x = relu(batch_norm(conv2d(x, p["conv5"]["w"], padding=1), p["bn5"]))
+    x = max_pool(x, (2, 1), (2, 1))
+    x = relu(conv2d(x, p["conv6"]["w"], p["conv6"]["b"], padding=0))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full models
+
+
+def crnn_apply(params, x, variant: str = "gen1"):
+    """Line crops (N, H, W, 1) -> CTC logits (N, T, num_class)."""
+    feats = resnet_features(params["feat"], x) if variant == "gen1" else vgg_features(params["feat"], x)
+    # torch: permute NCHW->(N,W,C,H), AdaptiveAvgPool2d((None,1)) == mean
+    # over H (blocks.py:440-446); NHWC: mean over axis 1.
+    seq = jnp.mean(feats, axis=1)  # (N, T, C)
+    seq = bilstm(seq, params["seq0"])
+    seq = bilstm(seq, params["seq1"])
+    return linear(seq, params["pred"]["w"], params["pred"]["b"])
+
+
+def sequence_length(width: int, variant: str = "gen1") -> int:
+    """Feature-sequence length for an input crop width."""
+    if variant == "gen1":
+        return width // 4 + 1
+    return width // 4 - 1
+
+
+# ---------------------------------------------------------------------------
+# Initialisation
+
+
+def _init_block(rng, cin, cout, downsample: bool):
+    keys = jax.random.split(rng, 3)
+    p = {
+        "conv1": init_conv(keys[0], 3, 3, cin, cout),
+        "bn1": init_bn(cout),
+        "conv2": init_conv(keys[1], 3, 3, cout, cout),
+        "bn2": init_bn(cout),
+    }
+    if downsample:
+        p["downsample"] = {"conv": init_conv(keys[2], 1, 1, cin, cout), "bn": init_bn(cout)}
+    return p
+
+
+def init_crnn_gen1(rng, num_class: int, input_channel: int = 1,
+                   output_channel: int = 512, hidden_size: int = 512):
+    """Random gen1 parameters (layers [1, 2, 5, 3], blocks.py:189)."""
+    oc = [output_channel // 4, output_channel // 2, output_channel, output_channel]
+    inplanes = output_channel // 8
+    keys = iter(jax.random.split(rng, 64))
+
+    def make_layer(cin, cout, blocks):
+        ps = [_init_block(next(keys), cin, cout, downsample=cin != cout)]
+        ps += [_init_block(next(keys), cout, cout, downsample=False) for _ in range(blocks - 1)]
+        return ps
+
+    feat = {
+        "conv0_1": init_conv(next(keys), 3, 3, input_channel, output_channel // 16),
+        "bn0_1": init_bn(output_channel // 16),
+        "conv0_2": init_conv(next(keys), 3, 3, output_channel // 16, inplanes),
+        "bn0_2": init_bn(inplanes),
+        "layer1": make_layer(inplanes, oc[0], 1),
+        "conv1": init_conv(next(keys), 3, 3, oc[0], oc[0]),
+        "bn1": init_bn(oc[0]),
+        "layer2": make_layer(oc[0], oc[1], 2),
+        "conv2": init_conv(next(keys), 3, 3, oc[1], oc[1]),
+        "bn2": init_bn(oc[1]),
+        "layer3": make_layer(oc[1], oc[2], 5),
+        "conv3": init_conv(next(keys), 3, 3, oc[2], oc[2]),
+        "bn3": init_bn(oc[2]),
+        "layer4": make_layer(oc[2], oc[3], 3),
+        "conv4_1": init_conv(next(keys), 2, 2, oc[3], oc[3]),
+        "bn4_1": init_bn(oc[3]),
+        "conv4_2": init_conv(next(keys), 2, 2, oc[3], oc[3]),
+        "bn4_2": init_bn(oc[3]),
+    }
+    return {
+        "feat": feat,
+        "seq0": {**init_lstm(next(keys), output_channel, hidden_size),
+                 **_lstm_linear(next(keys), hidden_size)},
+        "seq1": {**init_lstm(next(keys), hidden_size, hidden_size),
+                 **_lstm_linear(next(keys), hidden_size)},
+        "pred": init_linear(next(keys), hidden_size, num_class),
+    }
+
+
+def _lstm_linear(rng, hidden):
+    p = init_linear(rng, 2 * hidden, hidden)
+    return {"linear_w": p["w"], "linear_b": p["b"]}
+
+
+def init_crnn_gen2(rng, num_class: int, input_channel: int = 1,
+                   output_channel: int = 256, hidden_size: int = 256):
+    """Random gen2 parameters (VGG extractor, blocks.py:105-183)."""
+    oc = [output_channel // 8, output_channel // 4, output_channel // 2, output_channel]
+    keys = iter(jax.random.split(rng, 16))
+    feat = {
+        "conv0": init_conv(next(keys), 3, 3, input_channel, oc[0], bias=True),
+        "conv1": init_conv(next(keys), 3, 3, oc[0], oc[1], bias=True),
+        "conv2": init_conv(next(keys), 3, 3, oc[1], oc[2], bias=True),
+        "conv3": init_conv(next(keys), 3, 3, oc[2], oc[2], bias=True),
+        "conv4": init_conv(next(keys), 3, 3, oc[2], oc[3]),
+        "bn4": init_bn(oc[3]),
+        "conv5": init_conv(next(keys), 3, 3, oc[3], oc[3]),
+        "bn5": init_bn(oc[3]),
+        "conv6": init_conv(next(keys), 2, 2, oc[3], oc[3], bias=True),
+    }
+    return {
+        "feat": feat,
+        "seq0": {**init_lstm(next(keys), output_channel, hidden_size),
+                 **_lstm_linear(next(keys), hidden_size)},
+        "seq1": {**init_lstm(next(keys), hidden_size, hidden_size),
+                 **_lstm_linear(next(keys), hidden_size)},
+        "pred": init_linear(next(keys), hidden_size, num_class),
+    }

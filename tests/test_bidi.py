@@ -1,0 +1,48 @@
+"""Tests for the UAX#9 bidi display reordering (python-bidi replacement)."""
+
+from ocrfa_tpu.utils.bidi import get_display
+
+
+class TestGetDisplay:
+    def test_pure_ltr_unchanged(self):
+        assert get_display("hello world") == "hello world"
+        assert get_display("abc 123") == "abc 123"
+
+    def test_pure_rtl_reversed(self):
+        # logical order 'سلام' displays right-to-left
+        assert get_display("سلام") == "مالس"
+
+    def test_rtl_words_swap_order(self):
+        # two RTL words: word order and letters both reverse
+        assert get_display("اب جد") == "دج با"
+
+    def test_digits_stay_ltr_inside_rtl(self):
+        # European digits form an LTR run inside the RTL context
+        out = get_display("اب 123")
+        assert out == "123 با"
+
+    def test_arabic_indic_digits(self):
+        out = get_display("اب ۱۲۳")
+        # AN digits keep logical order within the RTL line
+        assert out == "۱۲۳ با"
+
+    def test_mixed_base_ltr(self):
+        # first strong char L -> base LTR, RTL run reversed in place
+        assert get_display("abc اب def") == "abc با def"
+
+    def test_mirroring_parens_in_rtl(self):
+        out = get_display("اب (جد)")
+        # parens mirror on RTL levels
+        assert out == "(دج) با"
+
+    def test_empty_and_neutral(self):
+        assert get_display("") == ""
+        assert get_display("   ") == "   "
+        assert get_display("123") == "123"
+
+    def test_base_dir_override(self):
+        assert get_display("abc", base_dir="R") == "abc"
+
+    def test_trailing_whitespace_resets(self):
+        # trailing space stays at the (RTL) line end
+        assert get_display("اب ") == " با"

@@ -1,0 +1,166 @@
+"""Test-only torch replicas of the reference model architectures.
+
+These reproduce the reference module trees (same state-dict key names, same
+hyper-parameters — ``/root/reference/src/ocrfa/modules/blocks.py``) so that:
+
+1. randomly-initialised torch weights can be run through the production
+   checkpoint converter (:mod:`ocrfa_tpu.checkpoints`), and
+2. the JAX models can be asserted numerically equal to the torch forward.
+
+They are fixtures, not product code; real checkpoints from the reference
+model zoo load through the exact same converter path.
+"""
+
+import torch
+import torch.nn as nn
+
+
+class BidirectionalLSTM(nn.Module):
+    def __init__(self, input_size, hidden_size, output_size):
+        super().__init__()
+        self.rnn = nn.LSTM(input_size, hidden_size, bidirectional=True, batch_first=True)
+        self.linear = nn.Linear(hidden_size * 2, output_size)
+
+    def forward(self, x):
+        return self.linear(self.rnn(x)[0])
+
+
+class BlockB(nn.Module):
+    def __init__(self, inplanes, planes, stride=1, down_sample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = down_sample
+
+    def forward(self, x):
+        residual = self.downsample(x) if self.downsample is not None else x
+        return self.relu(self.bn2(self.conv2(self.relu(self.bn1(self.conv1(x))))) + residual)
+
+
+class RefResNet(nn.Module):
+    """Recognition ResNet, layers [1, 2, 5, 3] (blocks.py:226-391)."""
+
+    def __init__(self, input_channel, output_channel):
+        super().__init__()
+        oc = [output_channel // 4, output_channel // 2, output_channel, output_channel]
+        self.inplanes = output_channel // 8
+        self.conv0_1 = nn.Conv2d(input_channel, output_channel // 16, 3, 1, 1, bias=False)
+        self.bn0_1 = nn.BatchNorm2d(output_channel // 16)
+        self.conv0_2 = nn.Conv2d(output_channel // 16, self.inplanes, 3, 1, 1, bias=False)
+        self.bn0_2 = nn.BatchNorm2d(self.inplanes)
+        self.relu = nn.ReLU(inplace=True)
+
+        self.max_pool1 = nn.MaxPool2d(2, 2)
+        self.layer1 = self._make_layer(oc[0], 1)
+        self.conv1 = nn.Conv2d(oc[0], oc[0], 3, 1, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(oc[0])
+
+        self.max_pool2 = nn.MaxPool2d(2, 2)
+        self.layer2 = self._make_layer(oc[1], 2)
+        self.conv2 = nn.Conv2d(oc[1], oc[1], 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(oc[1])
+
+        self.max_pool3 = nn.MaxPool2d(2, (2, 1), (0, 1))
+        self.layer3 = self._make_layer(oc[2], 5)
+        self.conv3 = nn.Conv2d(oc[2], oc[2], 3, 1, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(oc[2])
+
+        self.layer4 = self._make_layer(oc[3], 3)
+        self.conv4_1 = nn.Conv2d(oc[3], oc[3], 2, (2, 1), (0, 1), bias=False)
+        self.bn4_1 = nn.BatchNorm2d(oc[3])
+        self.conv4_2 = nn.Conv2d(oc[3], oc[3], 2, 1, 0, bias=False)
+        self.bn4_2 = nn.BatchNorm2d(oc[3])
+
+    def _make_layer(self, planes, blocks, stride=1):
+        down = None
+        if stride != 1 or self.inplanes != planes:
+            down = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+        layers = [BlockB(self.inplanes, planes, stride, down)]
+        self.inplanes = planes
+        layers += [BlockB(planes, planes) for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.relu(self.bn0_2(self.conv0_2(self.relu(self.bn0_1(self.conv0_1(x))))))
+        x = self.relu(self.bn1(self.conv1(self.layer1(self.max_pool1(x)))))
+        x = self.relu(self.bn2(self.conv2(self.layer2(self.max_pool2(x)))))
+        x = self.relu(self.bn3(self.conv3(self.layer3(self.max_pool3(x)))))
+        x = self.layer4(x)
+        x = self.relu(self.bn4_1(self.conv4_1(x)))
+        return self.relu(self.bn4_2(self.conv4_2(x)))
+
+
+class _FeatWrap(nn.Module):
+    def __init__(self, net):
+        super().__init__()
+        self.ConvNet = net
+
+    def forward(self, x):
+        return self.ConvNet(x)
+
+
+class Gen1Model(nn.Module):
+    """gen1 ``Model`` replica (blocks.py:422-447)."""
+
+    def __init__(self, num_class, input_channel=1, output_channel=512, hidden_size=512):
+        super().__init__()
+        self.FeatureExtraction = _FeatWrap(RefResNet(input_channel, output_channel))
+        self.AdaptiveAvgPool = nn.AdaptiveAvgPool2d((None, 1))
+        self.SequenceModeling = nn.Sequential(
+            BidirectionalLSTM(output_channel, hidden_size, hidden_size),
+            BidirectionalLSTM(hidden_size, hidden_size, hidden_size),
+        )
+        self.Prediction = nn.Linear(hidden_size, num_class)
+
+    def forward(self, x):
+        feats = self.FeatureExtraction(x)
+        seq = self.AdaptiveAvgPool(feats.permute(0, 3, 1, 2)).squeeze(3)
+        return self.Prediction(self.SequenceModeling(seq))
+
+
+class VGGExtractor(nn.Module):
+    """gen2 VGG extractor replica (blocks.py:105-183)."""
+
+    def __init__(self, input_channel, output_channel=256):
+        super().__init__()
+        oc = [output_channel // 8, output_channel // 4, output_channel // 2, output_channel]
+        self.ConvNet = nn.Sequential(
+            nn.Conv2d(input_channel, oc[0], 3, 1, 1), nn.ReLU(True), nn.MaxPool2d(2, 2),
+            nn.Conv2d(oc[0], oc[1], 3, 1, 1), nn.ReLU(True), nn.MaxPool2d(2, 2),
+            nn.Conv2d(oc[1], oc[2], 3, 1, 1), nn.ReLU(True),
+            nn.Conv2d(oc[2], oc[2], 3, 1, 1), nn.ReLU(True),
+            nn.MaxPool2d((2, 1), (2, 1)),
+            nn.Conv2d(oc[2], oc[3], 3, 1, 1, bias=False), nn.BatchNorm2d(oc[3]), nn.ReLU(True),
+            nn.Conv2d(oc[3], oc[3], 3, 1, 1, bias=False), nn.BatchNorm2d(oc[3]), nn.ReLU(True),
+            nn.MaxPool2d((2, 1), (2, 1)),
+            nn.Conv2d(oc[3], oc[3], 2, 1, 0), nn.ReLU(True),
+        )
+
+    def forward(self, x):
+        return self.ConvNet(x)
+
+
+class Gen2Model(nn.Module):
+    """gen2 ``VGGModel`` replica, with the reference's constructor defect
+    (undefined ``self.output_channel``, blocks.py:407) fixed."""
+
+    def __init__(self, num_class, input_channel=1, output_channel=256, hidden_size=256):
+        super().__init__()
+        self.FeatureExtraction = VGGExtractor(input_channel, output_channel)
+        self.AdaptiveAvgPool = nn.AdaptiveAvgPool2d((None, 1))
+        self.SequenceModeling = nn.Sequential(
+            BidirectionalLSTM(output_channel, hidden_size, hidden_size),
+            BidirectionalLSTM(hidden_size, hidden_size, hidden_size),
+        )
+        self.Prediction = nn.Linear(hidden_size, num_class)
+
+    def forward(self, x):
+        feats = self.FeatureExtraction(x)
+        seq = self.AdaptiveAvgPool(feats.permute(0, 3, 1, 2)).squeeze(3)
+        return self.Prediction(self.SequenceModeling(seq))
