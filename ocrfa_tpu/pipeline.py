@@ -1,0 +1,161 @@
+"""Recognition pipeline: bucketed batched CRNN forward + CTC decode.
+
+TPU-native redesign of the reference driver pair ``recognizer_predict`` /
+``get_text`` (``/root/reference/src/ocrfa/utils.py:605-770``):
+
+* The per-crop Python loop (+ torch DataLoader) becomes one batched forward
+  per (width, batch) bucket; XLA compiles each bucket once and reuses it.
+* softmax -> allowlist mask -> renormalise -> argmax runs on-device
+  (:mod:`ocrfa_tpu.decode.device`); only (N, T) index/value arrays return to
+  host for string collapse.
+* The low-confidence contrast second pass (utils.py:737-756) re-runs only
+  the failing crops, batched the same way.
+
+Output parity: crops are replicate-edge padded to the same ``max_width`` the
+reference computes, so logits — and therefore decoded strings — match the
+torch pipeline character-for-character.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrfa_tpu.decode.device import greedy_confidences, keep_mask_for, postprocess_logits
+from ocrfa_tpu.models.crnn import crnn_apply
+from ocrfa_tpu.preproc.buckets import bucket_for_batch, bucket_for_width
+from ocrfa_tpu.preproc.host import align_collate
+
+MAX_DEVICE_BATCH = 512
+
+
+class Recognizer:
+    """Holds device-resident CRNN params and the per-bucket jit cache."""
+
+    def __init__(self, params, converter, variant: str = "gen1",
+                 compute_dtype=jnp.float32, mesh=None):
+        self.converter = converter
+        self.variant = variant
+        self.compute_dtype = compute_dtype
+        self.mesh = mesh
+        if compute_dtype != jnp.float32:
+            params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
+        if mesh is not None:
+            from ocrfa_tpu.parallel.mesh import replicate
+
+            params = replicate(params, mesh)
+        self.params = jax.device_put(params)
+        self._apply = jax.jit(partial(crnn_apply, variant=variant))
+
+    def logits(self, batch: np.ndarray) -> jax.Array:
+        """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""
+        x = jnp.asarray(batch, self.compute_dtype)
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(x, self.mesh)
+        out = self._apply(self.params, x)
+        return out.astype(jnp.float32)
+
+    def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
+                decoder: str = "greedy", beam_width: int = 5):
+        """Run one padded batch end-to-end; returns [[text, conf], ...]."""
+        n = batch.shape[0]
+        # pad the batch dim to its bucket so compile count stays bounded
+        nb = bucket_for_batch(n)
+        if nb != n:
+            pad = np.repeat(batch[-1:], nb - n, axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+
+        logits = self.logits(batch)
+        mask = jnp.asarray(keep_mask)
+        if decoder == "greedy":
+            indices, values = postprocess_logits(logits, mask)
+            indices = np.asarray(indices)[:n]
+            values = np.asarray(values)[:n]
+            lengths = [indices.shape[1]] * n
+            texts = self.converter.decode_greedy(indices.reshape(-1), lengths)
+        else:
+            indices, values, probs = postprocess_logits(logits, mask, return_probs=True)
+            indices = np.asarray(indices)[:n]
+            values = np.asarray(values)[:n]
+            probs = np.asarray(probs)[:n]
+            if decoder == "beamsearch":
+                texts = self.converter.decode_beamsearch(probs, beamWidth=beam_width)
+            elif decoder == "wordbeamsearch":
+                texts = self.converter.decode_wordbeamsearch(probs, beamWidth=beam_width)
+            else:
+                raise ValueError(f"unknown decoder {decoder!r}")
+
+        confidences = greedy_confidences(indices, values)
+        return [[t, c] for t, c in zip(texts, confidences)]
+
+
+def recognizer_predict(recognizer: Recognizer, images, img_h: int, img_w: int,
+                       ignore_idx, decoder: str = "greedy", beam_width: int = 5,
+                       adjust_contrast: float = 0.0):
+    """Preprocess + forward + decode a list of grey crops.
+
+    ``img_w`` is the pad width (the reference's per-call ``max_width``);
+    it is rounded up to the active bucket ladder.
+    """
+    img_w = bucket_for_width(img_w)
+    keep_mask = keep_mask_for(recognizer.converter.num_classes, ignore_idx)
+
+    results = []
+    for start in range(0, len(images), MAX_DEVICE_BATCH):
+        chunk = images[start:start + MAX_DEVICE_BATCH]
+        batch = align_collate(chunk, img_h, img_w, adjust_contrast=adjust_contrast)
+        results += recognizer.predict(batch, keep_mask, decoder, beam_width)
+    return results
+
+
+def get_text(character, img_h: int, img_w: int, recognizer: Recognizer,
+             image_list, ignore_char: str = "", decoder: str = "greedy",
+             beam_width: int = 5, batch_size: int = 1, contrast_ths: float = 0.1,
+             adjust_contrast: float = 0.5, filter_ths: float = 0.003,
+             workers: int = 0):
+    """Full recognition driver with the contrast retry pass
+    (get_text parity, utils.py:698-770).
+
+    ``batch_size``/``workers`` are accepted for API compatibility; batching
+    is handled by the bucket scheduler (all crops of a call run in one
+    device batch, chunked at ``MAX_DEVICE_BATCH``).
+    """
+    ignore_idx = []
+    for char in ignore_char:
+        try:
+            ignore_idx.append(character.index(char) + 1)
+        except ValueError:
+            pass
+
+    coords = [item[0] for item in image_list]
+    img_list = [item[1] for item in image_list]
+    if not img_list:
+        return []
+
+    result1 = recognizer_predict(
+        recognizer, img_list, img_h, img_w, ignore_idx, decoder, beam_width
+    )
+
+    # second pass with contrast stretch for low-confidence crops
+    low_confident_idx = [i for i, item in enumerate(result1) if item[1] < contrast_ths]
+    if low_confident_idx:
+        img_list2 = [img_list[i] for i in low_confident_idx]
+        result2 = recognizer_predict(
+            recognizer, img_list2, img_h, img_w, ignore_idx, decoder, beam_width,
+            adjust_contrast=adjust_contrast,
+        )
+
+    result = []
+    for i, (box, pred1) in enumerate(zip(coords, result1)):
+        if i in low_confident_idx:
+            pred2 = result2[low_confident_idx.index(i)]
+            best = pred1 if pred1[1] > pred2[1] else pred2
+            result.append((box, best[0], best[1]))
+        else:
+            result.append((box, pred1[0], pred1[1]))
+    return result

@@ -2,29 +2,44 @@
 
 Under XLA every distinct input shape triggers a recompile; the reference's
 per-call dynamic ``max_width`` (utils.py:1412-1414) would recompile on nearly
-every page.  Instead, crops are padded up to a fixed ladder of widths so the
-recognizer compiles once per (bucket, batch-size) pair and is reused forever
+every page.  Crops are padded up to a fixed ladder of widths so the
+recognizer compiles once per (width, batch) bucket and is reused forever
 (SURVEY.md §5.7; BASELINE.json north star).
+
+Two ladders:
+
+* **Parity ladder** (default): every multiple of 64 up to the 2560 canvas.
+  The reference's per-call ``max_width = ceil(max aspect ratio) * 64`` is
+  always a multiple of 64, so rounding up to this ladder reproduces the
+  reference's padding *exactly* (replicate-edge pad is part of the model
+  input there too) while bounding the compile count at 40.
+* **Serving ladder**: coarse power-of-two-ish steps for maximum batch
+  packing in corpus-scale serving, where cross-width exactness is waived.
 """
 
 from __future__ import annotations
 
 from collections import defaultdict
 
-# Pad-width ladder in pixels for 64-px-high line crops.  4x feature
-# downsample => sequence lengths {31, 63, 127, 255, 383, 511, 639}.
-WIDTH_BUCKETS = (128, 256, 512, 1024, 1536, 2048, 2560)
+MODEL_HEIGHT = 64
+MAX_WIDTH = 2560
+
+# Parity ladder: multiples of 64 (matches reference max_width exactly).
+WIDTH_BUCKETS = tuple(range(MODEL_HEIGHT, MAX_WIDTH + 1, MODEL_HEIGHT))
+
+# Coarse ladder for serving throughput (fewer compiled shapes, denser batches).
+SERVING_WIDTH_BUCKETS = (128, 256, 512, 1024, 1536, 2048, 2560)
 
 # Batch sizes are also bucketed (next power of two) to bound compile count.
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 
 
-def bucket_for_width(width: int) -> int:
+def bucket_for_width(width: int, ladder=WIDTH_BUCKETS) -> int:
     """Smallest ladder width >= ``width`` (last bucket clamps)."""
-    for b in WIDTH_BUCKETS:
+    for b in ladder:
         if width <= b:
             return b
-    return WIDTH_BUCKETS[-1]
+    return ladder[-1]
 
 
 def bucket_for_batch(n: int) -> int:
@@ -34,7 +49,7 @@ def bucket_for_batch(n: int) -> int:
     return BATCH_BUCKETS[-1]
 
 
-def bucketize(widths) -> dict:
+def bucketize(widths, ladder=WIDTH_BUCKETS) -> dict:
     """Group crop indices by pad-width bucket.
 
     Returns ``{bucket_width: [crop indices]}`` preserving original order
@@ -42,5 +57,5 @@ def bucketize(widths) -> dict:
     """
     groups = defaultdict(list)
     for i, w in enumerate(widths):
-        groups[bucket_for_width(w)].append(i)
+        groups[bucket_for_width(w, ladder)].append(i)
     return dict(groups)

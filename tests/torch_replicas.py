@@ -118,7 +118,7 @@ class Gen1Model(nn.Module):
         )
         self.Prediction = nn.Linear(hidden_size, num_class)
 
-    def forward(self, x):
+    def forward(self, x, *args):
         feats = self.FeatureExtraction(x)
         seq = self.AdaptiveAvgPool(feats.permute(0, 3, 1, 2)).squeeze(3)
         return self.Prediction(self.SequenceModeling(seq))
@@ -160,7 +160,7 @@ class Gen2Model(nn.Module):
         )
         self.Prediction = nn.Linear(hidden_size, num_class)
 
-    def forward(self, x):
+    def forward(self, x, *args):
         feats = self.FeatureExtraction(x)
         seq = self.AdaptiveAvgPool(feats.permute(0, 3, 1, 2)).squeeze(3)
         return self.Prediction(self.SequenceModeling(seq))
