@@ -144,36 +144,26 @@ def convert_crnn_gen2(sd: dict) -> dict:
 def convert_craft(sd: dict) -> dict:
     """Reference CRAFT ``OCRFA`` state dict -> craft params pytree.
 
-    Layer indices per torchvision vgg16_bn features + the reference's
-    slice5/upconv/conv_cls layout (utils.py:48-98, blocks.py:24-82).
+    The reference slices torchvision's vgg16_bn features at indices
+    12/19/29/39 (blocks.py:42-49) — slice boundaries fall *mid-block*, right
+    after a BatchNorm and before its ReLU, and conv 40/41 is never used.
+    Convs in compute order sit at vgg16_bn indices
+    0,3,7,10,14,17,20,24,27,30,34,37 with BN at index+1; the Sequential
+    module names inside each slice keep the original vgg indices.
     """
-    # vgg16_bn feature indices: conv at 0,3,7,10,14,17,20,24,27,30,34,37,40
-    # with BN right after each conv; slices 1-4 cover 0-11,12-18,19-28,29-38.
-    def conv_bn(i):
-        return {
-            "conv": _conv(sd, f"basenet.slice{_slice_of(i)}.{i}", bias=True),
-            "bn": _bn(sd, f"basenet.slice{_slice_of(i)}.{i + 1}"),
-        }
-
-    def _slice_of(i):
-        if i < 12:
-            return 1
-        if i < 19:
-            return 2
-        if i < 29:
-            return 3
-        return 4
-
-    basenet = {
-        "stage1": [conv_bn(0), conv_bn(3)],
-        "stage2": [conv_bn(7), conv_bn(10)],
-        "stage3": [conv_bn(14), conv_bn(17), conv_bn(20)],
-        "stage4": [conv_bn(24), conv_bn(27), conv_bn(30)],
-        "stage5": [conv_bn(34), conv_bn(37), conv_bn(40)],
-        # slice5: maxpool(3,1,1), conv 3x3 dil 6, conv 1x1 (blocks.py:51-55)
-        "fc6": _conv(sd, "basenet.slice5.1", bias=True),
-        "fc7": _conv(sd, "basenet.slice5.2", bias=True),
-    }
+    _VGG_CONVS = (
+        (1, 0), (1, 3), (1, 7), (1, 10),      # c0..c3 (64, 64, 128, 128)
+        (2, 14), (2, 17),                     # c4..c5 (256, 256)
+        (3, 20), (3, 24), (3, 27),            # c6..c8 (256, 512, 512)
+        (4, 30), (4, 34), (4, 37),            # c9..c11 (512, 512, 512)
+    )
+    vgg = {}
+    for n, (slice_no, idx) in enumerate(_VGG_CONVS):
+        vgg[f"conv{n}"] = _conv(sd, f"basenet.slice{slice_no}.{idx}", bias=True)
+        vgg[f"bn{n}"] = _bn(sd, f"basenet.slice{slice_no}.{idx + 1}")
+    # slice5: maxpool(3,1,1), conv 3x3 dil 6, conv 1x1 (blocks.py:51-55)
+    vgg["fc6"] = _conv(sd, "basenet.slice5.1", bias=True)
+    vgg["fc7"] = _conv(sd, "basenet.slice5.2", bias=True)
 
     def double_conv(name):
         return {
@@ -184,7 +174,7 @@ def convert_craft(sd: dict) -> dict:
         }
 
     return {
-        "basenet": basenet,
+        "vgg": vgg,
         "upconv1": double_conv("upconv1"),
         "upconv2": double_conv("upconv2"),
         "upconv3": double_conv("upconv3"),

@@ -1,0 +1,125 @@
+"""Modulated deformable convolution (DCNv2) for TPU.
+
+Replaces the reference's C++/CUDA extension
+(``/root/reference/src/ocrfa/DBNet/assets/ops/dcn/``) with an XLA-native
+formulation.  Semantics follow the reference kernels exactly
+(``src/deform_conv_cuda_kernel.cu:570-633``; CPU twin
+``src/deform_conv_cpu_kernel.cpp:528-766``):
+
+* offset channels are interleaved ``[dy(k0), dx(k0), dy(k1), dx(k1), ...]``
+  over kernel taps in row-major order; mask channels follow tap order;
+* sample position for tap (i, j) at output (ho, wo):
+  ``(ho*stride - pad + i*dil + dy, wo*stride - pad + j*dil + dx)``;
+* bilinear sampling with zero outside the input extent;
+* v2 modulation: each sampled value is scaled by its (sigmoided) mask.
+
+TPU mapping: the deformable im2col is built with vectorised XLA gathers
+(four corner lookups per tap), then contracted against the weights with one
+large MXU matmul — the same im2col+GEMM scheme as the reference, with the
+compiler owning layout and fusion.  A host C++ parity kernel lives in
+``ocrfa_tpu/runtime`` for cross-checking.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather(x, ys, xs):
+    """Sample ``x`` (H, W, C) at float coords (ys, xs) of shape (P,).
+
+    Zero padding outside; returns (P, C).
+    """
+    h, w, _ = x.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[:, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def corner(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = x[yc, xc]  # (P, C) gather
+        return vals * valid[:, None]
+
+    return (
+        corner(y0, x0) * (1 - fy) * (1 - fx)
+        + corner(y0, x0 + 1) * (1 - fy) * fx
+        + corner(y0 + 1, x0) * fy * (1 - fx)
+        + corner(y0 + 1, x0 + 1) * fy * fx
+    )
+
+
+@partial(jax.jit, static_argnames=("stride", "padding", "dilation"))
+def modulated_deform_conv(x, offset, mask, w, b=None,
+                          stride: int = 1, padding: int = 1, dilation: int = 1):
+    """DCNv2 forward.
+
+    Args:
+      x:      (N, H, W, Cin) activations.
+      offset: (N, Ho, Wo, 2*Kh*Kw) interleaved (dy, dx) per tap.
+      mask:   (N, Ho, Wo, Kh*Kw) modulation (already sigmoided).
+      w:      (Kh, Kw, Cin, Cout) weights (HWIO).
+      b:      optional (Cout,).
+
+    Returns (N, Ho, Wo, Cout).
+    """
+    n, h, width, cin = x.shape
+    kh, kw, _, cout = w.shape
+    k = kh * kw
+    _, ho, wo, _ = offset.shape
+
+    # base sampling grid per tap
+    hs = jnp.arange(ho) * stride - padding
+    ws = jnp.arange(wo) * stride - padding
+    ih = jnp.arange(kh) * dilation
+    iw = jnp.arange(kw) * dilation
+    # (Ho, Wo, K) base coords
+    base_y = (hs[:, None, None] + ih.repeat(kw)[None, None, :])
+    base_x = (ws[None, :, None] + jnp.tile(iw, kh)[None, None, :])
+    base_y = jnp.broadcast_to(base_y, (ho, wo, k)).astype(x.dtype)
+    base_x = jnp.broadcast_to(base_x, (ho, wo, k)).astype(x.dtype)
+
+    off = offset.reshape(n, ho, wo, k, 2)
+    samp_y = base_y[None] + off[..., 0]
+    samp_x = base_x[None] + off[..., 1]
+
+    def one_image(xi, yi, xj, mi):
+        cols = _bilinear_gather(xi, yi.reshape(-1), xj.reshape(-1))  # (Ho*Wo*K, Cin)
+        cols = cols * mi.reshape(-1)[:, None]
+        return cols.reshape(ho * wo, k * cin)
+
+    cols = jax.vmap(one_image)(x, samp_y, samp_x, mask)  # (N, Ho*Wo, K*Cin)
+
+    # weights (Kh, Kw, Cin, Cout) -> (K*Cin, Cout), tap-major like the cols
+    w_mat = w.reshape(k, cin, cout).reshape(k * cin, cout)
+    out = jax.lax.dot_general(
+        cols, w_mat,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out.reshape(n, ho, wo, cout)
+
+
+def modulated_deform_conv_block(x, p, stride: int = 1, padding: int = 1):
+    """The DBNet block pattern: offsets/mask from a plain conv, then DCNv2.
+
+    ``p`` holds ``offset_conv`` ({w, b}, producing 27 channels: 18 offsets +
+    9 mask logits, backbones/resnet.py:92-96) and ``conv`` ({w}).
+    """
+    from ocrfa_tpu.models.layers import conv2d
+
+    om = conv2d(x, p["offset_conv"]["w"], p["offset_conv"]["b"], padding=1)
+    offset = om[..., :18]
+    mask = jax.nn.sigmoid(om[..., 18:])
+    return modulated_deform_conv(
+        x, offset, mask, p["conv"]["w"], stride=stride, padding=padding
+    )

@@ -164,3 +164,106 @@ class Gen2Model(nn.Module):
         feats = self.FeatureExtraction(x)
         seq = self.AdaptiveAvgPool(feats.permute(0, 3, 1, 2)).squeeze(3)
         return self.Prediction(self.SequenceModeling(seq))
+
+
+def _vgg16_bn_features():
+    """torchvision vgg16_bn.features layout (indices matter for slicing)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+           512, 512, 512, "M"]
+    layers = []
+    cin = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(cin, v, 3, padding=1), nn.BatchNorm2d(v), nn.ReLU(inplace=True)]
+            cin = v
+    return nn.Sequential(*layers)
+
+
+class Vgg16BN(nn.Module):
+    """Reference Vgg16BN replica (blocks.py:24-82), pretrained=False."""
+
+    def __init__(self):
+        super().__init__()
+        feats = _vgg16_bn_features()
+        self.slice1 = nn.Sequential()
+        self.slice2 = nn.Sequential()
+        self.slice3 = nn.Sequential()
+        self.slice4 = nn.Sequential()
+        for x in range(12):
+            self.slice1.add_module(str(x), feats[x])
+        for x in range(12, 19):
+            self.slice2.add_module(str(x), feats[x])
+        for x in range(19, 29):
+            self.slice3.add_module(str(x), feats[x])
+        for x in range(29, 39):
+            self.slice4.add_module(str(x), feats[x])
+        self.slice5 = nn.Sequential(
+            nn.MaxPool2d(kernel_size=3, stride=1, padding=1),
+            nn.Conv2d(512, 1024, kernel_size=3, padding=6, dilation=6),
+            nn.Conv2d(1024, 1024, kernel_size=1),
+        )
+
+    def forward(self, x):
+        h = self.slice1(x)
+        h_relu2_2 = h
+        h = self.slice2(h)
+        h_relu3_2 = h
+        h = self.slice3(h)
+        h_relu4_3 = h
+        h = self.slice4(h)
+        h_relu5_3 = h
+        h_fc7 = self.slice5(h)
+        return h_fc7, h_relu5_3, h_relu4_3, h_relu3_2, h_relu2_2
+
+
+class DoubleConv(nn.Module):
+    def __init__(self, in_ch, mid_ch, out_ch):
+        super().__init__()
+        self.conv = nn.Sequential(
+            nn.Conv2d(in_ch + mid_ch, mid_ch, kernel_size=1),
+            nn.BatchNorm2d(mid_ch), nn.ReLU(inplace=True),
+            nn.Conv2d(mid_ch, out_ch, kernel_size=3, padding=1),
+            nn.BatchNorm2d(out_ch), nn.ReLU(inplace=True),
+        )
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+class CraftModel(nn.Module):
+    """Reference OCRFA CRAFT replica (utils.py:48-98)."""
+
+    def __init__(self):
+        super().__init__()
+        self.basenet = Vgg16BN()
+        self.upconv1 = DoubleConv(1024, 512, 256)
+        self.upconv2 = DoubleConv(512, 256, 128)
+        self.upconv3 = DoubleConv(256, 128, 64)
+        self.upconv4 = DoubleConv(128, 64, 32)
+        self.conv_cls = nn.Sequential(
+            nn.Conv2d(32, 32, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(32, 32, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(32, 16, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(16, 16, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(16, 2, 1),
+        )
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        s = self.basenet(x)
+        y = torch.cat([s[0], s[1]], dim=1)
+        y = self.upconv1(y)
+        y = F.interpolate(y, size=s[2].size()[2:], mode="bilinear", align_corners=False)
+        y = torch.cat([y, s[2]], dim=1)
+        y = self.upconv2(y)
+        y = F.interpolate(y, size=s[3].size()[2:], mode="bilinear", align_corners=False)
+        y = torch.cat([y, s[3]], dim=1)
+        y = self.upconv3(y)
+        y = F.interpolate(y, size=s[4].size()[2:], mode="bilinear", align_corners=False)
+        y = torch.cat([y, s[4]], dim=1)
+        feature = self.upconv4(y)
+        y = self.conv_cls(feature)
+        return y.permute(0, 2, 3, 1), feature
