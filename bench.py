@@ -1,0 +1,78 @@
+"""Benchmark: text-line recognition throughput (BASELINE.md headline).
+
+Measures steady-state text-line images/sec/chip through the production
+recognition path — CRNN gen1 (full arabic_g1 shapes) forward + on-device CTC
+postprocess + host string collapse — on width-bucketed batches, bf16 compute.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/5000}
+
+Baseline: BASELINE.json north star = 5,000 lines/sec/chip on TPU v5e.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+BASELINE_LINES_PER_SEC = 5000.0
+
+# serving shape: config-2-like batch of variable-width Farsi lines
+BATCH = 512
+WIDTH = 256  # dominant bucket for 64px-high text lines
+WARMUP_ITERS = 3
+MEASURE_ITERS = 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+    from ocrfa_tpu.decode.device import keep_mask_for
+    from ocrfa_tpu.models.crnn import init_crnn_gen1
+    from ocrfa_tpu.pipeline import Recognizer
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+
+    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+    converter = CTCLabelConverter(chars)
+    params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=converter.num_classes)
+    recognizer = Recognizer(params, converter, compute_dtype=jnp.bfloat16)
+    keep_mask = keep_mask_for(converter.num_classes, converter.ignore_idx)
+
+    rng = np.random.default_rng(0)
+    batch = rng.integers(0, 255, (BATCH, 64, WIDTH, 1)).astype(np.uint8)
+
+    for _ in range(WARMUP_ITERS):
+        recognizer.predict(batch, keep_mask, decoder="greedy")
+
+    # steady-state serving pattern: keep PIPELINE_DEPTH batches in flight so
+    # dispatch latency and host decode overlap device compute
+    depth = 8
+    t0 = time.perf_counter()
+    inflight = []
+    done = 0
+    for _ in range(MEASURE_ITERS):
+        inflight.append(recognizer.predict_async(batch, keep_mask))
+        if len(inflight) >= depth:
+            recognizer.collect(inflight.pop(0))
+            done += 1
+    while inflight:
+        recognizer.collect(inflight.pop(0))
+        done += 1
+    dt = time.perf_counter() - t0
+
+    lines_per_sec = BATCH * MEASURE_ITERS / dt
+    print(json.dumps({
+        "metric": "textline_images_per_sec_per_chip",
+        "value": round(lines_per_sec, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(lines_per_sec / BASELINE_LINES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def ctc_confidences(indices, values):
+    """Vectorised per-row confidence: ``custom_mean`` of max probs at
+    non-blank steps (utils.py:650-660); 0 when the row is all-blank.
+
+    f32 product matches the reference's numpy-float32 accumulation.
+    """
+    mask = indices != 0
+    count = jnp.sum(mask, axis=1)
+    prod = jnp.prod(jnp.where(mask, values, 1.0), axis=1)
+    safe_count = jnp.maximum(count, 1)
+    conf = prod ** (2.0 / jnp.sqrt(safe_count.astype(jnp.float32)))
+    return jnp.where(count > 0, conf, 0.0)
+
+
 @partial(jax.jit, static_argnames=("return_probs",))
 def postprocess_logits(logits, keep_mask, return_probs: bool = False):
     """Softmax + ignore-mask + renormalise; reduce to (argmax, maxprob).
@@ -37,6 +51,22 @@ def postprocess_logits(logits, keep_mask, return_probs: bool = False):
     if return_probs:
         return indices, values, probs
     return indices, values
+
+
+def decode_greedy_batch(indices: np.ndarray, characters, ignore_idx=(0,)) -> list:
+    """Vectorised greedy collapse over an equal-length (N, T) batch.
+
+    Same semantics as ``CTCLabelConverter.decode_greedy`` (repeat
+    suppression computed before ignore removal, utils.py:1099-1115).
+    """
+    chars = np.array(characters)
+    not_repeated = np.concatenate(
+        [np.ones((indices.shape[0], 1), dtype=bool), indices[:, 1:] != indices[:, :-1]],
+        axis=1,
+    )
+    ignore = np.asarray(list(ignore_idx))
+    keep = not_repeated & ~np.isin(indices, ignore)
+    return ["".join(chars[row[k]]) for row, k in zip(indices, keep)]
 
 
 def greedy_confidences(indices: np.ndarray, values: np.ndarray):

@@ -24,10 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ocrfa_tpu.decode.device import greedy_confidences, keep_mask_for, postprocess_logits
+from ocrfa_tpu.decode.device import (
+    ctc_confidences,
+    decode_greedy_batch,
+    greedy_confidences,
+    keep_mask_for,
+    postprocess_logits,
+)
 from ocrfa_tpu.models.crnn import crnn_apply
 from ocrfa_tpu.preproc.buckets import bucket_for_batch, bucket_for_width
-from ocrfa_tpu.preproc.host import align_collate
+from ocrfa_tpu.preproc.host import align_collate_u8
 
 MAX_DEVICE_BATCH = 512
 
@@ -50,6 +56,28 @@ class Recognizer:
         self.params = jax.device_put(params)
         self._apply = jax.jit(partial(crnn_apply, variant=variant))
 
+        # fused fast path: one dispatch for on-device normalisation + forward
+        # + softmax/mask/argmax + confidence; crops cross the PCIe as uint8
+        # and only (N, T) indices + (N,) confidences come back.
+        def _norm(x):
+            if x.dtype == jnp.uint8:
+                # exact ToTensor + (v-0.5)/0.5 op order (utils.py:541-543)
+                x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+            return x.astype(self.compute_dtype)
+
+        def _fused(params, x, keep_mask):
+            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            indices, values = postprocess_logits(logits, keep_mask)
+            return indices, ctc_confidences(indices, values)
+
+        self._apply_greedy = jax.jit(_fused)
+
+        def _fused_probs(params, x, keep_mask):
+            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            return postprocess_logits(logits, keep_mask, return_probs=True)
+
+        self._apply_probs = jax.jit(_fused_probs)
+
     def logits(self, batch: np.ndarray) -> jax.Array:
         """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""
         x = jnp.asarray(batch, self.compute_dtype)
@@ -60,9 +88,42 @@ class Recognizer:
         out = self._apply(self.params, x)
         return out.astype(jnp.float32)
 
+    def predict_async(self, batch: np.ndarray, keep_mask: np.ndarray):
+        """Dispatch the fused greedy pass without blocking.
+
+        Returns ``(indices_dev, confs_dev, n)`` — device arrays the caller
+        materialises later.  Lets multiple buckets/chunks be in flight so
+        host decode and PCIe/ICI latency overlap device compute.
+        """
+        n = batch.shape[0]
+        nb = bucket_for_batch(n)
+        if nb != n:
+            pad = np.repeat(batch[-1:], nb - n, axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(x, self.mesh)
+        indices, confs = self._apply_greedy(self.params, x, jnp.asarray(keep_mask))
+        return indices, confs, n
+
+    def collect(self, handle):
+        """Materialise a ``predict_async`` handle into [[text, conf], ...]."""
+        indices, confs, n = handle
+        indices = np.asarray(indices)[:n]
+        confidences = np.asarray(confs)[:n].tolist()
+        texts = decode_greedy_batch(
+            indices, self.converter.character, self.converter.ignore_idx
+        )
+        return [[t, c] for t, c in zip(texts, confidences)]
+
     def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
                 decoder: str = "greedy", beam_width: int = 5):
         """Run one padded batch end-to-end; returns [[text, conf], ...]."""
+        if decoder == "greedy":
+            return self.collect(self.predict_async(batch, keep_mask))
+
         n = batch.shape[0]
         # pad the batch dim to its bucket so compile count stays bounded
         nb = bucket_for_batch(n)
@@ -70,27 +131,25 @@ class Recognizer:
             pad = np.repeat(batch[-1:], nb - n, axis=0)
             batch = np.concatenate([batch, pad], axis=0)
 
-        logits = self.logits(batch)
         mask = jnp.asarray(keep_mask)
-        if decoder == "greedy":
-            indices, values = postprocess_logits(logits, mask)
-            indices = np.asarray(indices)[:n]
-            values = np.asarray(values)[:n]
-            lengths = [indices.shape[1]] * n
-            texts = self.converter.decode_greedy(indices.reshape(-1), lengths)
-        else:
-            indices, values, probs = postprocess_logits(logits, mask, return_probs=True)
-            indices = np.asarray(indices)[:n]
-            values = np.asarray(values)[:n]
-            probs = np.asarray(probs)[:n]
-            if decoder == "beamsearch":
-                texts = self.converter.decode_beamsearch(probs, beamWidth=beam_width)
-            elif decoder == "wordbeamsearch":
-                texts = self.converter.decode_wordbeamsearch(probs, beamWidth=beam_width)
-            else:
-                raise ValueError(f"unknown decoder {decoder!r}")
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import shard_batch
 
+            x = shard_batch(x, self.mesh)
+
+        indices, values, probs = self._apply_probs(self.params, x, mask)
+        indices = np.asarray(indices)[:n]
+        values = np.asarray(values)[:n]
+        probs = np.asarray(probs)[:n]
+        if decoder == "beamsearch":
+            texts = self.converter.decode_beamsearch(probs, beamWidth=beam_width)
+        elif decoder == "wordbeamsearch":
+            texts = self.converter.decode_wordbeamsearch(probs, beamWidth=beam_width)
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
         confidences = greedy_confidences(indices, values)
+
         return [[t, c] for t, c in zip(texts, confidences)]
 
 
@@ -104,6 +163,19 @@ def recognizer_predict(recognizer: Recognizer, images, img_h: int, img_w: int,
     """
     img_w = bucket_for_width(img_w)
     keep_mask = keep_mask_for(recognizer.converter.num_classes, ignore_idx)
+
+    if decoder == "greedy":
+        # dispatch every chunk before collecting any: host preproc/decode
+        # overlaps device compute across chunks
+        handles = []
+        for start in range(0, len(images), MAX_DEVICE_BATCH):
+            chunk = images[start:start + MAX_DEVICE_BATCH]
+            batch = align_collate_u8(chunk, img_h, img_w, adjust_contrast=adjust_contrast)
+            handles.append(recognizer.predict_async(batch, keep_mask))
+        results = []
+        for handle in handles:
+            results += recognizer.collect(handle)
+        return results
 
     results = []
     for start in range(0, len(images), MAX_DEVICE_BATCH):

@@ -134,19 +134,37 @@ def normalize_pad(images, img_h: int, max_w: int) -> np.ndarray:
     return out
 
 
-def align_collate(images, img_h: int = 64, img_w: int = 1280, adjust_contrast: float = 0.0) -> np.ndarray:
-    """Batch line crops: optional contrast stretch, bicubic resize to
-    ``img_h``, replicate-pad to ``img_w`` (AlignCollate, utils.py:567-602).
+def align_collate_u8(images, img_h: int = 64, img_w: int = 1280,
+                     adjust_contrast: float = 0.0) -> np.ndarray:
+    """Batch line crops to a padded uint8 NHWC batch.
 
-    ``images`` are grey uint8 arrays of shape (h, w).  Returns NHWC float32.
+    Optional contrast stretch, bicubic resize to ``img_h``, replicate-edge
+    right pad to ``img_w`` (AlignCollate semantics, utils.py:567-602) —
+    but kept in uint8: normalisation to [-1, 1] runs on-device
+    (4x less host->device traffic; values match the reference's
+    ToTensor + (x-0.5)/0.5 bit-for-bit in f32).
     """
-    resized = []
-    for image in images:
+    n = len(images)
+    out = np.zeros((n, img_h, img_w, 1), dtype=np.uint8)
+    for i, image in enumerate(images):
         image = np.asarray(image)
         if adjust_contrast > 0:
             image = adjust_contrast_grey(image, target=adjust_contrast)
         h, w = image.shape[:2]
         ratio = w / float(h)
         resized_w = img_w if math.ceil(img_h * ratio) > img_w else math.ceil(img_h * ratio)
-        resized.append(_pil_resize(image, (resized_w, img_h), Image.BICUBIC))
-    return normalize_pad(resized, img_h, img_w)
+        resized = _pil_resize(image, (resized_w, img_h), Image.BICUBIC)
+        out[i, :, :resized_w, 0] = resized
+        if resized_w < img_w:
+            out[i, :, resized_w:, 0] = resized[:, resized_w - 1:resized_w]
+    return out
+
+
+def align_collate(images, img_h: int = 64, img_w: int = 1280, adjust_contrast: float = 0.0) -> np.ndarray:
+    """Batch line crops: optional contrast stretch, bicubic resize to
+    ``img_h``, replicate-pad to ``img_w`` (AlignCollate, utils.py:567-602).
+
+    ``images`` are grey uint8 arrays of shape (h, w).  Returns NHWC float32.
+    """
+    u8 = align_collate_u8(images, img_h, img_w, adjust_contrast)
+    return (u8.astype(np.float32) / 255.0 - 0.5) / 0.5

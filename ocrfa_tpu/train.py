@@ -1,0 +1,60 @@
+"""Training: CTC loss + data-parallel train step.
+
+The reference ships no trainer (SURVEY.md §3.5) — its DBNet losses are dead
+code.  This module adds a real one for the CRNN recognizers: CTC loss
+(optax) with an Adam step, sharded over the device mesh (params replicated,
+batch split; XLA inserts the gradient all-reduce over ICI).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ocrfa_tpu.models.crnn import crnn_apply
+
+
+def ctc_loss(logits, labels, label_lengths, blank_id: int = 0):
+    """Mean CTC loss over the batch.
+
+    ``logits``: (N, T, C); ``labels``: (N, L) int32 padded with zeros;
+    ``label_lengths``: (N,).
+    """
+    n, t, _ = logits.shape
+    _, l = labels.shape
+    logit_paddings = jnp.zeros((n, t), dtype=jnp.float32)
+    label_paddings = (
+        jnp.arange(l)[None, :] >= label_lengths[:, None]
+    ).astype(jnp.float32)
+    per_seq = optax.ctc_loss(
+        logits.astype(jnp.float32), logit_paddings, labels, label_paddings,
+        blank_id=blank_id,
+    )
+    return jnp.mean(per_seq)
+
+
+def make_train_step(optimizer, variant: str = "gen1"):
+    """Build a jitted CTC train step closed over the optimizer.
+
+    Data parallelism: place ``images``/``labels`` with a batch-sharded
+    ``NamedSharding`` and params replicated — XLA emits the psum for the
+    gradient reduction (SURVEY.md §2.7's DataParallel equivalent).
+    """
+
+    @jax.jit
+    def train_step(params, opt_state, images, labels, label_lengths):
+        def loss_fn(p):
+            logits = crnn_apply(p, images, variant=variant)
+            return ctc_loss(logits, labels, label_lengths)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    return train_step
+
+
+def make_optimizer(learning_rate: float = 1e-3):
+    return optax.adam(learning_rate)

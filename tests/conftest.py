@@ -20,6 +20,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize (TPU plugin) force-sets jax_platforms="axon,cpu"
+# programmatically, overriding the JAX_PLATFORMS env var — undo that so the
+# test suite really runs on the virtual 8-device CPU mesh.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 import pytest  # noqa: E402
 
 
