@@ -180,7 +180,7 @@ def recognizer_predict(recognizer: Recognizer, images, img_h: int, img_w: int,
     results = []
     for start in range(0, len(images), MAX_DEVICE_BATCH):
         chunk = images[start:start + MAX_DEVICE_BATCH]
-        batch = align_collate(chunk, img_h, img_w, adjust_contrast=adjust_contrast)
+        batch = align_collate_u8(chunk, img_h, img_w, adjust_contrast=adjust_contrast)
         results += recognizer.predict(batch, keep_mask, decoder, beam_width)
     return results
 
