@@ -185,6 +185,77 @@ def convert_craft(sd: dict) -> dict:
     }
 
 
+def _deconv(sd, prefix):
+    """torch ConvTranspose2d weights keep their (Cin, Cout, kh, kw) layout."""
+    return {"w": sd[prefix + ".weight"], "b": sd[prefix + ".bias"]}
+
+
+def convert_dbnet(sd: dict, backbone: str = "resnet18") -> dict:
+    """Reference DBNet ``SegDetectorModel`` state dict -> dbnet params.
+
+    Checkpoint keys are ``model.module.backbone.*`` / ``model.module.
+    decoder.*`` (DataParallel-wrapped BasicModel, DBNet/model/model.py:13-32);
+    the decoder's binarize/thresh Sequentials index conv/bn/deconv at
+    0/1/3/4/6 (decoders/seg_detector.py:46-55).
+    """
+    sd = {
+        (k[len("model.module."):] if k.startswith("model.module.") else k): v
+        for k, v in sd.items()
+    }
+    layers = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}[backbone]
+    bottleneck = backbone == "resnet50"
+
+    def block(prefix):
+        p = {
+            "conv1": _conv(sd, prefix + ".conv1"),
+            "bn1": _bn(sd, prefix + ".bn1"),
+            "bn2": _bn(sd, prefix + ".bn2"),
+        }
+        if prefix + ".conv2_offset.weight" in sd:
+            p["conv2_offset"] = _conv(sd, prefix + ".conv2_offset", bias=True)
+        p["conv2"] = _conv(sd, prefix + ".conv2")
+        if bottleneck:
+            p["conv3"] = _conv(sd, prefix + ".conv3")
+            p["bn3"] = _bn(sd, prefix + ".bn3")
+        if prefix + ".downsample.0.weight" in sd:
+            p["downsample"] = {
+                "conv": _conv(sd, prefix + ".downsample.0"),
+                "bn": _bn(sd, prefix + ".downsample.1"),
+            }
+        return p
+
+    bb = {
+        "conv1": _conv(sd, "backbone.conv1"),
+        "bn1": _bn(sd, "backbone.bn1"),
+    }
+    for li, n in enumerate(layers, start=1):
+        bb[f"layer{li}"] = [block(f"backbone.layer{li}.{i}") for i in range(n)]
+
+    def head(prefix):
+        return {
+            "conv": _conv(sd, f"{prefix}.0"),
+            "bn1": _bn(sd, f"{prefix}.1"),
+            "deconv1": _deconv(sd, f"{prefix}.3"),
+            "bn2": _bn(sd, f"{prefix}.4"),
+            "deconv2": _deconv(sd, f"{prefix}.6"),
+        }
+
+    decoder = {
+        "in5": _conv(sd, "decoder.in5"),
+        "in4": _conv(sd, "decoder.in4"),
+        "in3": _conv(sd, "decoder.in3"),
+        "in2": _conv(sd, "decoder.in2"),
+        "out5": _conv(sd, "decoder.out5.0"),
+        "out4": _conv(sd, "decoder.out4.0"),
+        "out3": _conv(sd, "decoder.out3.0"),
+        "out2": _conv(sd, "decoder.out2"),
+        "binarize": head("decoder.binarize"),
+    }
+    if "decoder.thresh.0.weight" in sd:
+        decoder["thresh"] = head("decoder.thresh")
+    return {"backbone": bb, "decoder": decoder}
+
+
 # ---------------------------------------------------------------------------
 # Orbax persistence
 

@@ -1,0 +1,51 @@
+"""Deformable conv: XLA op vs independent numpy spec; zero-offset == conv."""
+
+import numpy as np
+import pytest
+
+from ocrfa_tpu.ops.deform_conv import modulated_deform_conv
+from tests.dcn_numpy import modulated_deform_conv_np
+
+
+def _rand_case(rng, n=1, h=6, w=7, cin=3, cout=4, stride=1, padding=1):
+    ho = (h + 2 * padding - 3) // stride + 1
+    wo = (w + 2 * padding - 3) // stride + 1
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    offset = (rng.standard_normal((n, ho, wo, 18)) * 1.5).astype(np.float32)
+    mask = rng.random((n, ho, wo, 9)).astype(np.float32)
+    wgt = rng.standard_normal((3, 3, cin, cout)).astype(np.float32) * 0.3
+    return x, offset, mask, wgt
+
+
+class TestModulatedDeformConv:
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_matches_numpy_spec(self, stride):
+        rng = np.random.default_rng(stride)
+        x, offset, mask, w = _rand_case(rng, stride=stride)
+        ours = np.asarray(
+            modulated_deform_conv(x, offset, mask, w, stride=stride, padding=1)
+        )
+        ref = modulated_deform_conv_np(x, offset, mask, w, stride=stride, padding=1)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+    def test_zero_offset_unit_mask_equals_conv(self):
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.models.layers import conv2d
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((2, 8, 9, 4)).astype(np.float32)
+        w = rng.standard_normal((3, 3, 4, 5)).astype(np.float32) * 0.2
+        offset = np.zeros((2, 8, 9, 18), dtype=np.float32)
+        mask = np.ones((2, 8, 9, 9), dtype=np.float32)
+        ours = np.asarray(modulated_deform_conv(x, offset, mask, w))
+        plain = np.asarray(conv2d(jnp.asarray(x), jnp.asarray(w), padding=1))
+        np.testing.assert_allclose(ours, plain, atol=1e-4, rtol=1e-4)
+
+    def test_mask_zero_kills_output(self):
+        rng = np.random.default_rng(4)
+        x, offset, mask, w = _rand_case(rng)
+        out = np.asarray(
+            modulated_deform_conv(x, offset, np.zeros_like(mask), w)
+        )
+        np.testing.assert_allclose(out, 0.0, atol=1e-6)

@@ -267,3 +267,128 @@ class CraftModel(nn.Module):
         feature = self.upconv4(y)
         y = self.conv_cls(feature)
         return y.permute(0, 2, 3, 1), feature
+
+
+class DBBasicBlock(nn.Module):
+    """DBNet backbone BasicBlock, plain conv2 (dcn=None path,
+    backbones/resnet.py:37-108)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        residual = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            residual = self.downsample(x)
+        return self.relu(out + residual)
+
+
+class DBResNet18(nn.Module):
+    """DBNet backbone ResNet-18 returning the C2..C5 pyramid
+    (backbones/resnet.py:188-254)."""
+
+    def __init__(self):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(64, 2)
+        self.layer2 = self._make_layer(128, 2, stride=2)
+        self.layer3 = self._make_layer(256, 2, stride=2)
+        self.layer4 = self._make_layer(512, 2, stride=2)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes),
+            )
+        layers = [DBBasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        layers += [DBBasicBlock(planes, planes) for _ in range(blocks - 1)]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x2 = self.layer1(x)
+        x3 = self.layer2(x2)
+        x4 = self.layer3(x3)
+        x5 = self.layer4(x4)
+        return x2, x3, x4, x5
+
+
+class SegDetectorRef(nn.Module):
+    """SegDetector replica (decoders/seg_detector.py:7-152), inference path."""
+
+    def __init__(self, in_channels=(64, 128, 256, 512), inner_channels=256,
+                 k=50, bias=False, adaptive=True):
+        super().__init__()
+        self.k = k
+        self.up5 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.up4 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.up3 = nn.Upsample(scale_factor=2, mode="nearest")
+        self.in5 = nn.Conv2d(in_channels[-1], inner_channels, 1, bias=bias)
+        self.in4 = nn.Conv2d(in_channels[-2], inner_channels, 1, bias=bias)
+        self.in3 = nn.Conv2d(in_channels[-3], inner_channels, 1, bias=bias)
+        self.in2 = nn.Conv2d(in_channels[-4], inner_channels, 1, bias=bias)
+        self.out5 = nn.Sequential(
+            nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias),
+            nn.Upsample(scale_factor=8, mode="nearest"))
+        self.out4 = nn.Sequential(
+            nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias),
+            nn.Upsample(scale_factor=4, mode="nearest"))
+        self.out3 = nn.Sequential(
+            nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias),
+            nn.Upsample(scale_factor=2, mode="nearest"))
+        self.out2 = nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias)
+        self.binarize = nn.Sequential(
+            nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias),
+            nn.BatchNorm2d(inner_channels // 4), nn.ReLU(inplace=True),
+            nn.ConvTranspose2d(inner_channels // 4, inner_channels // 4, 2, 2),
+            nn.BatchNorm2d(inner_channels // 4), nn.ReLU(inplace=True),
+            nn.ConvTranspose2d(inner_channels // 4, 1, 2, 2),
+            nn.Sigmoid())
+        if adaptive:
+            self.thresh = nn.Sequential(
+                nn.Conv2d(inner_channels, inner_channels // 4, 3, padding=1, bias=bias),
+                nn.BatchNorm2d(inner_channels // 4), nn.ReLU(inplace=True),
+                nn.ConvTranspose2d(inner_channels // 4, inner_channels // 4, 2, 2),
+                nn.BatchNorm2d(inner_channels // 4), nn.ReLU(inplace=True),
+                nn.ConvTranspose2d(inner_channels // 4, 1, 2, 2),
+                nn.Sigmoid())
+
+    def forward(self, features):
+        c2, c3, c4, c5 = features
+        in5, in4, in3, in2 = self.in5(c5), self.in4(c4), self.in3(c3), self.in2(c2)
+        out4 = self.up5(in5) + in4
+        out3 = self.up4(out4) + in3
+        out2 = self.up3(out3) + in2
+        p5 = self.out5(in5)
+        p4 = self.out4(out4)
+        p3 = self.out3(out3)
+        p2 = self.out2(out2)
+        fuse = torch.cat((p5, p4, p3, p2), 1)
+        return self.binarize(fuse)
+
+
+class DBNetRefModel(nn.Module):
+    """BasicModel replica (backbone + decoder, DBNet/model/model.py:13-21)."""
+
+    def __init__(self):
+        super().__init__()
+        self.backbone = DBResNet18()
+        self.decoder = SegDetectorRef()
+
+    def forward(self, x):
+        return self.decoder(self.backbone(x))
