@@ -1,0 +1,101 @@
+"""Integration tests: the full OCR facade (detect -> group -> recognize)."""
+
+import numpy as np
+import pytest
+
+from ocrfa_tpu.api import OCR
+from ocrfa_tpu.decode import CTCLabelConverter
+from ocrfa_tpu.detector import CraftDetector
+from ocrfa_tpu.models.craft import init_craft
+from ocrfa_tpu.models.crnn import init_crnn_gen1
+from ocrfa_tpu.pipeline import Recognizer
+from ocrfa_tpu.registry import RECOGNITION_MODELS
+
+
+@pytest.fixture(scope="module")
+def ocr(tmp_path_factory):
+    import jax
+
+    storage = str(tmp_path_factory.mktemp("models"))
+    reader = OCR(
+        gpu=False, detector=False, recognizer=False,
+        model_storage_directory=storage, user_network_directory=storage,
+        verbose=False,
+    )
+    # inject random-weight models (no network access in CI)
+    reader.detect_network = "craft"
+    reader.detector = CraftDetector(init_craft(jax.random.PRNGKey(0)))
+    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+    converter = CTCLabelConverter(chars)
+    params = init_crnn_gen1(jax.random.PRNGKey(1), num_class=converter.num_classes,
+                            output_channel=64, hidden_size=64)
+    reader.recognizer = Recognizer(params, converter)
+    reader.converter = converter
+    return reader
+
+
+def synthetic_page(seed=0, h=96, w=128):
+    rng = np.random.default_rng(seed)
+    page = np.full((h, w, 3), 235, dtype=np.uint8)
+    page[20:40, 10:110] = rng.integers(0, 90, (20, 100, 3))
+    page[60:80, 30:100] = rng.integers(0, 90, (20, 70, 3))
+    return page
+
+
+class TestReadtext:
+    def test_standard_output(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128)
+        assert isinstance(result, list)
+        for box, text, conf in result:
+            assert len(box) == 4 and len(box[0]) == 2
+            assert isinstance(text, str)
+            assert 0.0 <= conf <= 1.0 or np.isclose(conf, 0.0)
+
+    def test_detail_zero(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128, detail=0)
+        assert all(isinstance(t, str) for t in result)
+
+    def test_dict_output(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128, output_format="dict")
+        for item in result:
+            assert set(item) == {"boxes", "text", "confident"}
+
+    def test_json_output(self, ocr):
+        import json
+
+        result = ocr.readtext(synthetic_page(), canvas_size=128, output_format="json")
+        for item in result:
+            parsed = json.loads(item)
+            assert "boxes" in parsed and "text" in parsed
+
+    def test_paragraph(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128, paragraph=True)
+        for box, text in result:
+            assert isinstance(text, str)
+
+    def test_allowlist(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128, allowlist="ابت")
+        for _, text, _ in result:
+            assert set(text) <= set("ابت")
+
+    def test_recognize_whole_image(self, ocr):
+        grey = np.asarray(synthetic_page())[:, :, 0]
+        result = ocr.recognize(grey, reformat=False)
+        assert len(result) == 1
+
+    def test_readtext_batched(self, ocr):
+        pages = [synthetic_page(1), synthetic_page(2)]
+        results = ocr.readtext_batched(pages, n_width=128, n_height=96, canvas_size=128)
+        assert len(results) == 2
+
+    def test_transform_ua_shape(self, ocr):
+        h_list, f_list = ocr.transform_ua(synthetic_page(), canvas_size=128)
+        assert isinstance(h_list, list) and isinstance(f_list, list)
+        assert len(h_list) == 1
+
+    def test_repr(self, ocr):
+        assert "OCR" in repr(ocr)
+
+    def test_batch_size_gt1_path(self, ocr):
+        result = ocr.readtext(synthetic_page(), canvas_size=128, batch_size=4)
+        assert isinstance(result, list)
