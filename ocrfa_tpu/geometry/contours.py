@@ -58,8 +58,16 @@ def _trace_boundary(mask: np.ndarray, start):
 def find_contours(bitmap: np.ndarray):
     """Outer boundary of every 8-connected foreground component.
 
-    Returns a list of (P, 2) int arrays in (x, y) order.
+    Returns a list of (P, 2) int arrays in (x, y) order.  Uses the native
+    C++ tracer when built (ocrfa_tpu/runtime), else pure Python.
     """
+    try:
+        from ocrfa_tpu.runtime import available, find_contours_native
+
+        if available():
+            return find_contours_native(bitmap)
+    except Exception:
+        pass
     labels, n = cc_label(bitmap.astype(np.uint8), structure=_EIGHT)
     contours = []
     for k in range(1, n + 1):

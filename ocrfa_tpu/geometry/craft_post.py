@@ -19,18 +19,34 @@ from __future__ import annotations
 import math
 
 import numpy as np
+from scipy.ndimage import find_objects
 from scipy.ndimage import label as cc_label
 from scipy.ndimage import maximum_filter
 
-from ocrfa_tpu.geometry.minrect import min_area_rect
+from ocrfa_tpu.geometry.minrect import min_area_rect as _min_area_rect_py
 from ocrfa_tpu.geometry.transform import perspective_transform, warp_perspective
 
 # 4-connectivity structuring element (cv2 connectivity=4)
 _CROSS = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=np.uint8)
 
 
+def _min_area_rect(points):
+    try:
+        from ocrfa_tpu.runtime import available, min_area_rect_native
+
+        if available():
+            return min_area_rect_native(points)
+    except Exception:
+        pass
+    return _min_area_rect_py(points)
+
+
 def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_text,
                        estimate_num_chars: bool = False):
+    """Identical results to the reference loop (utils.py:106-175), but each
+    component is processed inside its own bounding window instead of
+    allocating full-canvas masks per label (O(sum of windows), not
+    O(labels x H x W))."""
     img_h, img_w = textmap.shape
 
     text_score = (textmap > low_text).astype(np.float32)  # cv2.threshold is strictly >
@@ -38,43 +54,53 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
 
     text_score_comb = np.clip(text_score + link_score, 0, 1)
     labels, n_labels = cc_label(text_score_comb.astype(np.uint8), structure=_CROSS)
+    slices = find_objects(labels)
 
     det = []
     mapper = []
     link_only = np.logical_and(link_score == 1, text_score == 0)
 
     for k in range(1, n_labels + 1):
-        mask = labels == k
-        size = int(mask.sum())
+        sl = slices[k - 1]
+        if sl is None:
+            continue
+        local = labels[sl] == k
+        size = int(local.sum())
         if size < 10:
             continue
-        if np.max(textmap[mask]) < text_threshold:
+        if np.max(textmap[sl][local]) < text_threshold:
             continue
 
-        segmap = np.zeros(textmap.shape, dtype=np.uint8)
-        segmap[mask] = 255
+        y, x = sl[0].start, sl[1].start
+        h, w = sl[0].stop - y, sl[1].stop - x
+        niter = int(math.sqrt(size * min(w, h) / (w * h)) * 2)
+        sx, ex = max(x - niter, 0), min(x + w + niter + 1, img_w)
+        sy, ey = max(y - niter, 0), min(y + h + niter + 1, img_h)
+
+        # component + link-removal inside the dilation window only — all
+        # nonzero pixels of the reference's full-canvas segmap live here
+        win = (slice(sy, ey), slice(sx, ex))
+        segwin = np.zeros((ey - sy, ex - sx), dtype=np.uint8)
+        segwin[sl[0].start - sy:sl[0].stop - sy,
+               sl[1].start - sx:sl[1].stop - sx][local] = 255
         if estimate_num_chars:
-            character_locs = ((textmap - linkmap) * segmap / 255.0) > text_threshold
+            character_locs = (
+                (textmap[sl] - linkmap[sl]) * local
+            ) > text_threshold
             _, n_chars = cc_label(character_locs)
             mapper.append(n_chars)
         else:
             mapper.append(k)
-        segmap[link_only] = 0  # remove link-only area
+        segwin[link_only[win]] = 0  # remove link-only area
 
-        ys, xs = np.where(mask)
-        x, y = xs.min(), ys.min()
-        w, h = xs.max() - x + 1, ys.max() - y + 1
-        niter = int(math.sqrt(size * min(w, h) / (w * h)) * 2)
-        sx, ex = max(x - niter, 0), min(x + w + niter + 1, img_w)
-        sy, ey = max(y - niter, 0), min(y + h + niter + 1, img_h)
         # rect-kernel dilation == max filter (same anchor math as cv2.dilate)
         k_size = 1 + niter
-        segmap[sy:ey, sx:ex] = maximum_filter(segmap[sy:ey, sx:ex], size=k_size)
+        segwin = maximum_filter(segwin, size=k_size)
 
         # min-area rect over the component pixels in (x, y) order
-        ys2, xs2 = np.where(segmap != 0)
-        np_contours = np.stack([xs2, ys2], axis=1)
-        box, (bw, bh) = min_area_rect(np_contours)
+        ys2, xs2 = np.where(segwin != 0)
+        np_contours = np.stack([xs2 + sx, ys2 + sy], axis=1)
+        box, (bw, bh) = _min_area_rect(np_contours)
 
         # align diamond-shape: near-square boxes snap to axis-aligned
         w_box = np.linalg.norm(box[0] - box[1])
