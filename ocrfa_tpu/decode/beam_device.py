@@ -1,0 +1,181 @@
+"""On-device CTC prefix beam search (lax.scan, static shapes).
+
+The reference's ``ctcBeamSearch`` is a pure-Python T x beam x C loop
+(``utils.py:949-1038``) — the hot loop #3 of SURVEY.md.  This device
+implementation runs the whole batch in one XLA program:
+
+* standard merged-prefix formulation: each beam is a *collapsed* prefix
+  with separate blank/non-blank path masses (log space) — mathematically
+  the textbook CTC prefix beam search.  The host implementation
+  (:mod:`ocrfa_tpu.decode.beam`) keys beams on blank-containing labelings
+  instead (the reference's quirk); top-1 results agree except on
+  probability ties, so the host decoder remains the strict-parity path
+  while this one is the throughput path.
+* per step: extend every beam with the top-K classes, merge duplicate
+  prefixes by rolling-hash segmented logsumexp, keep the best B.
+
+Shapes are fully static: prefixes live in a (B, T) buffer; the scan runs
+exactly T steps; vmap batches rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+# two independent rolling hashes to make collisions negligible
+_P1 = jnp.uint32(1000003)
+_P2 = jnp.uint32(10000019)
+
+
+def _logaddexp(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    safe = mx + jnp.log1p(jnp.exp(jnp.maximum(mn - mx, -80.0)))
+    return jnp.where(mx <= NEG_INF / 2, NEG_INF, safe)
+
+
+def _beam_step(state, logp, beam_width: int, topk: int, max_t: int):
+    prefix, length, h1, h2, pb, pnb = state
+    b = beam_width
+    k = topk
+
+    ptot = _logaddexp(pb, pnb)
+    top_vals, top_idx = jax.lax.top_k(logp[1:], k)  # non-blank classes
+    top_idx = top_idx + 1
+    logp_blank = logp[0]
+
+    last = prefix[jnp.arange(b), jnp.maximum(length - 1, 0)]
+    has_char = length > 0
+
+    # ---- stay candidates (prefix unchanged): blank path + repeat path
+    stay_pb = ptot + logp_blank
+    stay_pnb = jnp.where(has_char, pnb + logp[last], NEG_INF)
+
+    # ---- extend candidates (B, K): prefix + c
+    c = jnp.broadcast_to(top_idx[None, :], (b, k))
+    lp_c = jnp.broadcast_to(top_vals[None, :], (b, k))
+    same_as_last = has_char[:, None] & (c == last[:, None])
+    ext_pnb = jnp.where(same_as_last, pb[:, None] + lp_c, ptot[:, None] + lp_c)
+    ext_pb = jnp.full((b, k), NEG_INF)
+
+    # flatten candidates: B stays then B*K extends
+    cand_h1 = jnp.concatenate([h1, (h1[:, None] * _P1 + c.astype(jnp.uint32)).reshape(-1)])
+    cand_h2 = jnp.concatenate([h2, (h2[:, None] * _P2 + c.astype(jnp.uint32)).reshape(-1)])
+    cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(-1)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    parent = jnp.concatenate([jnp.arange(b), jnp.repeat(jnp.arange(b), k)])
+    newchar = jnp.concatenate([jnp.full((b,), -1), c.reshape(-1)]).astype(jnp.int32)
+
+    m = b + b * k
+    # dead parents must not merge with anything: give them unique hashes
+    dead = _logaddexp(cand_pb, cand_pnb) <= NEG_INF / 2
+    uniq = (jnp.arange(m, dtype=jnp.uint32) + jnp.uint32(0x80000000))
+    cand_h1 = jnp.where(dead, uniq, cand_h1)
+    cand_h2 = jnp.where(dead, uniq * _P2, cand_h2)
+
+    # ---- merge duplicates: sort by hash, segment-logsumexp
+    key = cand_h1.astype(jnp.uint64) << jnp.uint64(32) | cand_h2.astype(jnp.uint64)
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pb_s = cand_pb[order]
+    pnb_s = cand_pnb[order]
+
+    seg_start = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    seg_id = jnp.cumsum(seg_start) - 1
+    merged_pb = jax.ops.segment_sum(jnp.exp(pb_s - NEG_INF * 0), seg_id, num_segments=m)
+    # logsumexp per segment, numerically safe: subtract segment max first
+    seg_max = jax.ops.segment_max(jnp.maximum(pb_s, pnb_s), seg_id, num_segments=m)
+    seg_max_g = seg_max[seg_id]
+    exp_pb = jnp.where(pb_s > NEG_INF / 2, jnp.exp(pb_s - seg_max_g), 0.0)
+    exp_pnb = jnp.where(pnb_s > NEG_INF / 2, jnp.exp(pnb_s - seg_max_g), 0.0)
+    sum_pb = jax.ops.segment_sum(exp_pb, seg_id, num_segments=m)
+    sum_pnb = jax.ops.segment_sum(exp_pnb, seg_id, num_segments=m)
+    new_pb_seg = jnp.where(sum_pb > 0, jnp.log(sum_pb) + seg_max, NEG_INF)
+    new_pnb_seg = jnp.where(sum_pnb > 0, jnp.log(sum_pnb) + seg_max, NEG_INF)
+    score_seg = _logaddexp(new_pb_seg, new_pnb_seg)
+    n_segs = seg_id[-1] + 1
+    valid_seg = jnp.arange(m) < n_segs
+    score_seg = jnp.where(valid_seg, score_seg, NEG_INF)
+
+    # representative candidate (first in sorted order) per segment
+    first_sorted_idx = jax.ops.segment_min(
+        jnp.arange(m), seg_id, num_segments=m
+    )
+    rep_cand = order[jnp.clip(first_sorted_idx, 0, m - 1)]
+
+    # ---- select top-B segments
+    best_scores, best_seg = jax.lax.top_k(score_seg, b)
+    rep = rep_cand[best_seg]
+    par = parent[rep]
+    ch = newchar[rep]
+
+    new_prefix = prefix[par]
+    new_length = length[par]
+    write_pos = jnp.clip(new_length, 0, max_t - 1)
+    extend = ch >= 0
+    new_prefix = jnp.where(
+        extend[:, None]
+        & (jnp.arange(max_t)[None, :] == write_pos[:, None]),
+        ch[:, None],
+        new_prefix,
+    )
+    new_length = jnp.where(extend, jnp.minimum(new_length + 1, max_t), new_length)
+    new_h1 = cand_h1[rep]
+    new_h2 = cand_h2[rep]
+    new_pb = new_pb_seg[best_seg]
+    new_pnb = new_pnb_seg[best_seg]
+    new_pb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pb)
+    new_pnb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pnb)
+
+    return (new_prefix, new_length, new_h1, new_h2, new_pb, new_pnb), None
+
+
+@partial(jax.jit, static_argnames=("beam_width", "topk"))
+def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8):
+    """Batch CTC beam decode.
+
+    Args:
+      log_probs: (N, T, C) log probabilities (blank = class 0).
+
+    Returns ``(prefixes, lengths, scores)``: best-first collapsed label
+    sequences ``(N, B, T)`` with valid ``lengths (N, B)`` and total log
+    probabilities ``(N, B)``.
+    """
+    n, t, c = log_probs.shape
+    topk = min(topk, c - 1)
+
+    def one_row(row):
+        b = beam_width
+        prefix = jnp.zeros((b, t), dtype=jnp.int32)
+        length = jnp.zeros((b,), dtype=jnp.int32)
+        h1 = jnp.zeros((b,), dtype=jnp.uint32)
+        h2 = jnp.zeros((b,), dtype=jnp.uint32)
+        pb = jnp.full((b,), NEG_INF).at[0].set(0.0)
+        pnb = jnp.full((b,), NEG_INF)
+
+        step = partial(_beam_step, beam_width=b, topk=topk, max_t=t)
+        (prefix, length, _, _, pb, pnb), _ = jax.lax.scan(
+            step, (prefix, length, h1, h2, pb, pnb), row
+        )
+        score = _logaddexp(pb, pnb)
+        order = jnp.argsort(-score)
+        return prefix[order], length[order], score[order]
+
+    return jax.vmap(one_row)(log_probs)
+
+
+def decode_beams_to_text(prefixes, lengths, characters, ignore_idx=(0,)):
+    """Top-1 beam -> strings (host side)."""
+    import numpy as np
+
+    chars = np.array(characters)
+    ignore = set(ignore_idx)
+    texts = []
+    for row_prefix, row_len in zip(np.asarray(prefixes), np.asarray(lengths)):
+        ids = row_prefix[0][: row_len[0]]
+        texts.append("".join(chars[i] for i in ids if i not in ignore))
+    return texts

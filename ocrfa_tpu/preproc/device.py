@@ -1,0 +1,147 @@
+"""On-device page -> line-crop preprocessing (the north-star fused path).
+
+The reference's per-crop host loop (slice -> PIL resize -> normalise -> pad,
+``utils.py:1375-1418`` + ``:567-602``) becomes one device computation: the
+grey page is uploaded once as uint8 and every line crop is produced by a
+batched bilinear crop-resize directly into the width-bucketed recognition
+batch, normalised to [-1, 1] in the same program.
+
+Replicate-edge right padding falls out of coordinate clamping: output
+columns beyond a crop's aspect-preserved width sample the crop's last
+source column.
+
+This path is for high-throughput serving (configs 3/5); the host path in
+:mod:`ocrfa_tpu.preproc.host` reproduces the reference's exact PIL kernels
+for parity work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def crop_resize_normalize(page_u8, boxes, out_h: int = 64, out_w: int = 512):
+    """Batched crop + bilinear resize + normalise from a device page.
+
+    Args:
+      page_u8: (H, W) uint8 grey page.
+      boxes:   (N, 4) int32 ``[x_min, x_max, y_min, y_max]`` (clipped,
+               x_max/y_max exclusive).  Degenerate boxes produce junk rows
+               the caller drops.
+      out_h/out_w: static output shape (bucketed).
+
+    Returns (N, out_h, out_w, 1) float32 in [-1, 1], plus (N,) int32 valid
+    output widths.
+    """
+    page = page_u8.astype(jnp.float32)
+    h, w = page.shape
+
+    x0 = boxes[:, 0].astype(jnp.float32)
+    x1 = boxes[:, 1].astype(jnp.float32)
+    y0 = boxes[:, 2].astype(jnp.float32)
+    y1 = boxes[:, 3].astype(jnp.float32)
+    crop_w = jnp.maximum(x1 - x0, 1.0)
+    crop_h = jnp.maximum(y1 - y0, 1.0)
+
+    # aspect-preserved width at out_h, clamped to the bucket
+    new_w = jnp.clip(jnp.ceil(out_h * crop_w / crop_h), 1, out_w)
+
+    # half-pixel-center sampling grids, clamped to the crop (clamp beyond
+    # new_w == replicate-edge pad)
+    oy = jnp.arange(out_h, dtype=jnp.float32)
+    ox = jnp.arange(out_w, dtype=jnp.float32)
+
+    sy = (oy[None, :] + 0.5) * (crop_h[:, None] / out_h) - 0.5
+    sy = jnp.clip(sy, 0.0, crop_h[:, None] - 1.0) + y0[:, None]        # (N, H)
+    sx = (ox[None, :] + 0.5) * (crop_w[:, None] / new_w[:, None]) - 0.5
+    sx = jnp.clip(sx, 0.0, crop_w[:, None] - 1.0) + x0[:, None]        # (N, W)
+
+    y0i = jnp.floor(sy).astype(jnp.int32)
+    x0i = jnp.floor(sx).astype(jnp.int32)
+    fy = sy - y0i
+    fx = sx - x0i
+    y0c = jnp.clip(y0i, 0, h - 1)
+    y1c = jnp.clip(y0i + 1, 0, h - 1)
+    x0c = jnp.clip(x0i, 0, w - 1)
+    x1c = jnp.clip(x0i + 1, 0, w - 1)
+
+    def sample(yi, xi):
+        # (N, H) x (N, W) -> (N, H, W) gather from the page
+        return page[yi[:, :, None], xi[:, None, :]]
+
+    out = (
+        sample(y0c, x0c) * (1 - fy)[:, :, None] * (1 - fx)[:, None, :]
+        + sample(y0c, x1c) * (1 - fy)[:, :, None] * fx[:, None, :]
+        + sample(y1c, x0c) * fy[:, :, None] * (1 - fx)[:, None, :]
+        + sample(y1c, x1c) * fy[:, :, None] * fx[:, None, :]
+    )
+    out = (out / 255.0 - 0.5) / 0.5
+    return out[..., None], new_w.astype(jnp.int32)
+
+
+class DevicePagePipeline:
+    """Page-resident recognition: one upload, one dispatch per bucket.
+
+    Fuses crop-resize-normalise + CRNN forward + CTC postprocess into a
+    single jitted program keyed on (n_boxes bucket, width bucket).
+    """
+
+    def __init__(self, recognizer):
+        from ocrfa_tpu.decode.device import ctc_confidences, postprocess_logits
+        from ocrfa_tpu.models.crnn import crnn_apply
+
+        self.recognizer = recognizer
+
+        def _fused(params, page_u8, boxes, keep_mask, *, out_w):
+            crops, _ = crop_resize_normalize(page_u8, boxes, out_w=out_w)
+            crops = crops.astype(recognizer.compute_dtype)
+            logits = crnn_apply(params, crops, variant=recognizer.variant)
+            indices, values = postprocess_logits(logits.astype(jnp.float32), keep_mask)
+            return indices, ctc_confidences(indices, values)
+
+        self._fused = jax.jit(_fused, static_argnames=("out_w",))
+
+    def put_page(self, page_grey_u8):
+        return jax.device_put(jnp.asarray(page_grey_u8, jnp.uint8))
+
+    def recognize_boxes(self, page_dev, horizontal_list, keep_mask,
+                        img_height: int = 64):
+        """``[[x_min, x_max, y_min, y_max], ...]`` -> [[text, conf], ...]."""
+        import numpy as np
+
+        from ocrfa_tpu.decode.device import decode_greedy_batch
+        from ocrfa_tpu.preproc.buckets import bucket_for_batch, bucket_for_width
+
+        if not horizontal_list:
+            return []
+        h, w = page_dev.shape
+        boxes = np.asarray(horizontal_list, dtype=np.int32)
+        boxes[:, 0] = np.clip(boxes[:, 0], 0, w)
+        boxes[:, 1] = np.clip(boxes[:, 1], 0, w)
+        boxes[:, 2] = np.clip(boxes[:, 2], 0, h)
+        boxes[:, 3] = np.clip(boxes[:, 3], 0, h)
+
+        widths = np.maximum(boxes[:, 1] - boxes[:, 0], 1)
+        heights = np.maximum(boxes[:, 3] - boxes[:, 2], 1)
+        ratios = np.where(widths / heights < 1.0, heights / widths, widths / heights)
+        need_w = np.ceil(ratios).astype(int) * img_height
+        out_w = bucket_for_width(int(need_w.max()))
+
+        n = len(boxes)
+        nb = bucket_for_batch(n)
+        if nb != n:
+            boxes = np.concatenate([boxes, np.repeat(boxes[-1:], nb - n, axis=0)])
+
+        indices, confs = self._fused(
+            self.recognizer.params, page_dev, jnp.asarray(boxes),
+            jnp.asarray(keep_mask), out_w=out_w,
+        )
+        indices = np.asarray(indices)[:n]
+        confs = np.asarray(confs)[:n].tolist()
+        conv = self.recognizer.converter
+        texts = decode_greedy_batch(indices, conv.character, conv.ignore_idx)
+        return [[t, c] for t, c in zip(texts, confs)]
