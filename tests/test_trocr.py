@@ -1,0 +1,86 @@
+"""TrOCR-style recognizer: shapes, causal consistency, on-device decode."""
+
+import numpy as np
+import pytest
+
+from ocrfa_tpu.models import trocr
+
+
+@pytest.fixture(scope="module")
+def small():
+    import jax
+
+    params = trocr.init_trocr(
+        jax.random.PRNGKey(0), num_class=10, d_model=32, heads=4,
+        enc_layers=2, dec_layers=2, max_src=64, max_tgt=16,
+    )
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 64, 32, 1)).astype(np.float32)
+    return params, images
+
+
+class TestTrOCR:
+    def test_teacher_forced_shapes(self, small):
+        params, images = small
+        tokens = np.array([[1, 5, 6, 7], [1, 4, 2, 0]], dtype=np.int32)
+        logits = trocr.trocr_apply(params, images, tokens, heads=4)
+        # vocab = 10 - 1 + 3 specials = 12
+        assert logits.shape == (2, 4, 12)
+
+    def test_causality(self, small):
+        # changing a later token must not affect earlier logits
+        params, images = small
+        t1 = np.array([[1, 5, 6, 7]], dtype=np.int32)
+        t2 = np.array([[1, 5, 9, 3]], dtype=np.int32)
+        l1 = np.asarray(trocr.trocr_apply(params, images[:1], t1, heads=4))
+        l2 = np.asarray(trocr.trocr_apply(params, images[:1], t2, heads=4))
+        np.testing.assert_allclose(l1[:, :2], l2[:, :2], atol=1e-5)
+        assert np.abs(l1[:, 2:] - l2[:, 2:]).max() > 1e-6
+
+    def test_incremental_matches_teacher_forced(self, small):
+        """Greedy scan with KV cache must reproduce the teacher-forced
+        argmax chain."""
+        import jax.numpy as jnp
+
+        params, images = small
+        tokens, lengths = trocr.greedy_generate(params, images, heads=4, max_len=8)
+        tokens = np.asarray(tokens)
+
+        # re-derive greedily with full teacher forcing
+        seq = np.full((2, 9), trocr.BOS, dtype=np.int32)
+        done = np.zeros(2, bool)
+        for i in range(8):
+            logits = np.asarray(
+                trocr.trocr_apply(params, images, jnp.asarray(seq[:, : i + 1]), heads=4)
+            )
+            nxt = logits[:, -1].argmax(-1).astype(np.int32)
+            nxt = np.where(done, trocr.EOS, nxt)
+            done |= nxt == trocr.EOS
+            seq[:, i + 1] = nxt
+        np.testing.assert_array_equal(tokens, seq[:, 1:])
+
+    def test_loss_and_overfit_step(self, small):
+        import jax
+        import optax
+
+        params, images = small
+        tokens_in = np.array([[1, 5, 6], [1, 4, 2]], dtype=np.int32)
+        tokens_out = np.array([[5, 6, 2], [4, 2, 0]], dtype=np.int32)
+
+        loss_fn = lambda p: trocr.trocr_loss(p, images, tokens_in, tokens_out, heads=4)
+        l0 = float(loss_fn(params))
+        opt = optax.adam(1e-3)
+        state = opt.init(params)
+        p = params
+        for _ in range(5):
+            g = jax.grad(loss_fn)(p)
+            updates, state = opt.update(g, state, p)
+            p = optax.apply_updates(p, updates)
+        l1 = float(trocr.trocr_loss(p, images, tokens_in, tokens_out, heads=4))
+        assert np.isfinite(l0) and l1 < l0
+
+    def test_tokens_to_text(self):
+        chars = ["[blank]", "a", "b", "c"]
+        tokens = np.array([[3, 4, 2, 2], [5, 2, 2, 2]])
+        lengths = np.array([2, 1])
+        assert trocr.tokens_to_text(tokens, lengths, chars) == ["ab", "c"]
