@@ -90,14 +90,20 @@ class DevicePagePipeline:
     single jitted program keyed on (n_boxes bucket, width bucket).
     """
 
-    def __init__(self, recognizer):
+    def __init__(self, recognizer, use_pallas: bool = False):
         from ocrfa_tpu.decode.device import ctc_confidences, postprocess_logits
         from ocrfa_tpu.models.crnn import crnn_apply
 
         self.recognizer = recognizer
+        self.use_pallas = use_pallas
 
         def _fused(params, page_u8, boxes, keep_mask, *, out_w):
-            crops, _ = crop_resize_normalize(page_u8, boxes, out_w=out_w)
+            if use_pallas:
+                from ocrfa_tpu.preproc.pallas_kernel import crop_resize_normalize_pallas
+
+                crops = crop_resize_normalize_pallas(page_u8, boxes, out_w=out_w)
+            else:
+                crops, _ = crop_resize_normalize(page_u8, boxes, out_w=out_w)
             crops = crops.astype(recognizer.compute_dtype)
             logits = crnn_apply(params, crops, variant=recognizer.variant)
             indices, values = postprocess_logits(logits.astype(jnp.float32), keep_mask)
