@@ -107,6 +107,43 @@ class DBNetDetector:
     def normalize_image(self, image):
         return (image - BGR_MEAN) / 255.0
 
+    def load_image(self, image, detection_size=None):
+        """Path/array/PIL -> normalised tensor + original shape
+        (DBNet.py:101-146 equivalent)."""
+        if isinstance(image, str):
+            img = np.asarray(Image.open(image).convert("RGB"), dtype=np.float32)
+            img = img[:, :, ::-1]  # reference reads BGR via cv2
+        elif isinstance(image, np.ndarray):
+            img = image.astype(np.float32)
+        elif isinstance(image, Image.Image):
+            img = np.asarray(image, dtype=np.float32)[:, :, ::-1]
+        else:
+            raise TypeError(
+                "Unsupport image format. Only path-to-file, opencv BGR image, "
+                "and PIL image are supported."
+            )
+        img, original_shape = self.resize_image(img, detection_size)
+        return self.normalize_image(img), original_shape
+
+    def inference(self, image, text_threshold=0.2, bbox_min_score=0.2,
+                  bbox_min_size=3, max_candidates=0, detection_size=None,
+                  as_polygon=False, return_scores=False):
+        """Standalone detection API (DBNet.py:378-410 equivalent)."""
+        if not isinstance(image, list):
+            image = [image]
+        pairs = [self.load_image(img, detection_size) for img in image]
+        batch = np.stack([p[0] for p in pairs]).astype(np.float32)
+        original_shapes = [p[1] for p in pairs]
+        hmaps = self.image2hmap(batch)
+        batch_boxes, batch_scores = self.hmap2bbox(
+            original_shapes, hmaps, text_threshold=text_threshold,
+            bbox_min_score=bbox_min_score, bbox_min_size=bbox_min_size,
+            max_candidates=max_candidates, as_polygon=as_polygon,
+        )
+        if return_scores:
+            return batch_boxes, batch_scores
+        return batch_boxes
+
     # -- forward ----------------------------------------------------------
 
     def image2hmap(self, batch: np.ndarray) -> np.ndarray:

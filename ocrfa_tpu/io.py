@@ -26,9 +26,26 @@ def calculate_md5(fname: str) -> str:
     return hash_md5.hexdigest()
 
 
+def progress_hook(prefix: str = "", suffix: str = "Complete", decimals: int = 1,
+                  length: int = 50, fill: str = "#"):
+    """Terminal progress bar for urlretrieve (print_custom parity,
+    utils.py:1512-1522)."""
+
+    def hook(count, block_size, total_size):
+        progress = count * block_size / max(total_size, 1)
+        state = min(progress * 100, 100)
+        percent = f"{state:.{decimals}f}"
+        filled = int(length * min(progress, 1.0))
+        bar = fill * filled + " " * (length - filled)
+        print(f"\r{prefix} |{bar}| {percent}% {suffix}", end="")
+
+    return hook
+
+
 def download_and_unzip(url: str, filename: str, model_storage_directory: str, verbose: bool = True) -> None:
     zip_path = os.path.join(model_storage_directory, "temp.zip")
-    urlretrieve(url, zip_path)
+    reporthook = progress_hook(prefix="Progress:") if verbose else None
+    urlretrieve(url, zip_path, reporthook=reporthook)
     with ZipFile(zip_path, "r") as zf:
         zf.extract(filename, model_storage_directory)
     os.remove(zip_path)

@@ -46,7 +46,8 @@ def bucket_for_batch(n: int) -> int:
     for b in BATCH_BUCKETS:
         if n <= b:
             return b
-    return BATCH_BUCKETS[-1]
+    # beyond the ladder: next power of two (never truncate the batch)
+    return 1 << (n - 1).bit_length()
 
 
 def bucketize(widths, ladder=WIDTH_BUCKETS) -> dict:

@@ -1,0 +1,116 @@
+"""Corpus-scale page serving (BASELINE config 5).
+
+Streams pages through the full OCR pipeline with device-resident data:
+
+1. each grey page uploads **once** as uint8;
+2. the detection canvas (aspect resize to /32, ImageNet normalise,
+   grey->RGB broadcast) is built on-device from that page;
+3. CRAFT heatmaps come back (small) for host box extraction + grouping;
+4. recognition runs through the fused device page pipeline
+   (:class:`ocrfa_tpu.preproc.device.DevicePagePipeline`) against the same
+   resident page — crops never touch the host.
+
+Pages are processed with a simple software pipeline: detection for page
+i+1 is dispatched while page i's boxes are being extracted/recognised.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ocrfa_tpu.decode.device import keep_mask_for
+from ocrfa_tpu.geometry import group_text_box
+from ocrfa_tpu.geometry.craft_post import adjust_result_coordinates, get_det_boxes
+from ocrfa_tpu.models.craft import craft_apply
+from ocrfa_tpu.preproc.device import DevicePagePipeline
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
+
+
+def _round32(x: int) -> int:
+    return -(-x // 32) * 32
+
+
+class ServingPipeline:
+    """Full-page OCR over a page stream with device-resident staging."""
+
+    def __init__(self, detector_params, recognizer, canvas_size: int = 1280,
+                 use_pallas: bool = False, text_threshold: float = 0.7,
+                 link_threshold: float = 0.4, low_text: float = 0.4,
+                 min_size: int = 20):
+        self.recognizer = recognizer
+        self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
+        self.canvas_size = canvas_size
+        self.text_threshold = text_threshold
+        self.link_threshold = link_threshold
+        self.low_text = low_text
+        self.min_size = min_size
+        self.keep_mask = keep_mask_for(
+            recognizer.converter.num_classes, recognizer.converter.ignore_idx
+        )
+        self.det_params = jax.device_put(detector_params)
+
+        def _detect(params, page_u8, *, canvas_hw):
+            # device-side detector preproc: resize + ImageNet norm + grey->RGB
+            page = page_u8.astype(jnp.float32)
+            canvas = jax.image.resize(page, canvas_hw, method="bilinear")
+            rgb = jnp.broadcast_to(canvas[..., None], (*canvas_hw, 3))
+            x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
+            y, _ = craft_apply(params, x[None])
+            return y[0]
+
+        self._detect = jax.jit(_detect, static_argnames=("canvas_hw",))
+
+    def _canvas_hw(self, h: int, w: int):
+        target = min(self.canvas_size, max(h, w))
+        ratio = target / max(h, w)
+        return (_round32(int(h * ratio)), _round32(int(w * ratio))), ratio
+
+    def submit_page(self, page_grey_u8: np.ndarray):
+        """Dispatch device work for one page; returns an opaque handle."""
+        h, w = page_grey_u8.shape
+        canvas_hw, ratio = self._canvas_hw(h, w)
+        page_dev = self.page_pipe.put_page(page_grey_u8)
+        heatmaps = self._detect(self.det_params, page_dev, canvas_hw=canvas_hw)
+        return (page_dev, heatmaps, ratio)
+
+    def finish_page(self, handle):
+        """Heatmaps -> boxes -> batched recognition; returns
+        [(box, text, confidence), ...]."""
+        page_dev, heatmaps, ratio = handle
+        maps = np.asarray(heatmaps)
+        boxes, _, _ = get_det_boxes(
+            maps[:, :, 0], maps[:, :, 1],
+            self.text_threshold, self.link_threshold, self.low_text,
+        )
+        inv = 1.0 / ratio
+        boxes = adjust_result_coordinates(boxes, inv, inv)
+        polys = [np.array(b).astype(np.int32).reshape(-1) for b in boxes]
+        horizontal, _free = group_text_box(polys)
+        if self.min_size:
+            horizontal = [
+                b for b in horizontal
+                if max(b[1] - b[0], b[3] - b[2]) > self.min_size
+            ]
+        results = self.page_pipe.recognize_boxes(page_dev, horizontal, self.keep_mask)
+        out = []
+        for box, (text, conf) in zip(horizontal, results):
+            x0, x1, y0, y1 = box
+            quad = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+            out.append((quad, text, conf))
+        return out
+
+    def process(self, pages, depth: int = 2):
+        """Pipeline a stream of grey uint8 pages; yields per-page results."""
+        inflight = []
+        for page in pages:
+            inflight.append(self.submit_page(page))
+            if len(inflight) >= depth:
+                yield self.finish_page(inflight.pop(0))
+        while inflight:
+            yield self.finish_page(inflight.pop(0))
