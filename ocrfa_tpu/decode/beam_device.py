@@ -77,16 +77,19 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int):
     cand_h1 = jnp.where(dead, uniq, cand_h1)
     cand_h2 = jnp.where(dead, uniq * _P2, cand_h2)
 
-    # ---- merge duplicates: sort by hash, segment-logsumexp
-    key = cand_h1.astype(jnp.uint64) << jnp.uint64(32) | cand_h2.astype(jnp.uint64)
-    order = jnp.argsort(key)
-    key_s = key[order]
+    # ---- merge duplicates: lexsort by the hash pair, segment-logsumexp
+    # (NB: a single uint64 key silently truncates to uint32 without x64)
+    order = jnp.lexsort((cand_h2, cand_h1))
+    h1_s = cand_h1[order]
+    h2_s = cand_h2[order]
     pb_s = cand_pb[order]
     pnb_s = cand_pnb[order]
 
-    seg_start = jnp.concatenate([jnp.array([True]), key_s[1:] != key_s[:-1]])
+    seg_start = jnp.concatenate([
+        jnp.array([True]),
+        (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1]),
+    ])
     seg_id = jnp.cumsum(seg_start) - 1
-    merged_pb = jax.ops.segment_sum(jnp.exp(pb_s - NEG_INF * 0), seg_id, num_segments=m)
     # logsumexp per segment, numerically safe: subtract segment max first
     seg_max = jax.ops.segment_max(jnp.maximum(pb_s, pnb_s), seg_id, num_segments=m)
     seg_max_g = seg_max[seg_id]

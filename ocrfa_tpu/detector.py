@@ -12,7 +12,6 @@ bound compile count in serving.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ i+1 is dispatched while page i's boxes are being extracted/recognised.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
