@@ -23,7 +23,7 @@ BASELINE_LINES_PER_SEC = 5000.0
 BATCH = 512
 WIDTH = 256  # dominant bucket for 64px-high text lines
 WARMUP_ITERS = 3
-MEASURE_ITERS = 12
+MEASURE_ITERS = 24
 
 
 def main():

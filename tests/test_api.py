@@ -99,3 +99,20 @@ class TestReadtext:
     def test_batch_size_gt1_path(self, ocr):
         result = ocr.readtext(synthetic_page(), canvas_size=128, batch_size=4)
         assert isinstance(result, list)
+
+
+class TestReadtextDBNet:
+    def test_dbnet_path(self, ocr):
+        """Full readtext through the DBNet detector branch."""
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        old_net, old_det = ocr.detect_network, ocr.detector
+        try:
+            ocr.detect_network = "dbnet18"
+            ocr.detector = DBNetDetector.random_init(0)
+            result = ocr.readtext(synthetic_page(), canvas_size=96)
+            assert isinstance(result, list)
+            for box, text, conf in result:
+                assert len(box) == 4 and isinstance(text, str)
+        finally:
+            ocr.detect_network, ocr.detector = old_net, old_det
