@@ -78,6 +78,20 @@ class Recognizer:
 
         self._apply_probs = jax.jit(_fused_probs)
 
+        def _fused_beam(params, x, keep_mask, *, beam_width):
+            from ocrfa_tpu.decode.beam_device import ctc_beam_search_device
+
+            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            indices, values, probs = postprocess_logits(logits, keep_mask,
+                                                        return_probs=True)
+            log_probs = jnp.log(jnp.maximum(probs, 1e-30))
+            prefixes, lengths, scores = ctc_beam_search_device(
+                log_probs, beam_width=beam_width
+            )
+            return prefixes, lengths, ctc_confidences(indices, values)
+
+        self._apply_beam = jax.jit(_fused_beam, static_argnames=("beam_width",))
+
     def logits(self, batch: np.ndarray) -> jax.Array:
         """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""
         x = jnp.asarray(batch, self.compute_dtype)
@@ -120,7 +134,13 @@ class Recognizer:
 
     def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
                 decoder: str = "greedy", beam_width: int = 5):
-        """Run one padded batch end-to-end; returns [[text, conf], ...]."""
+        """Run one padded batch end-to-end; returns [[text, conf], ...].
+
+        Decoders: ``greedy`` (on-device, reference-exact), ``beamsearch`` /
+        ``wordbeamsearch`` (host, reference-exact), ``beamsearch_fast``
+        (lax.scan beam fully on-device — better posterior argmax than the
+        reference beam, not tie-exact with it).
+        """
         if decoder == "greedy":
             return self.collect(self.predict_async(batch, keep_mask))
 
@@ -138,6 +158,18 @@ class Recognizer:
 
             x = shard_batch(x, self.mesh)
 
+        if decoder == "beamsearch_fast":
+            from ocrfa_tpu.decode.beam_device import decode_beams_to_text
+
+            prefixes, lengths, confs = self._apply_beam(
+                self.params, x, mask, beam_width=beam_width
+            )
+            texts = decode_beams_to_text(
+                np.asarray(prefixes)[:n], np.asarray(lengths)[:n],
+                self.converter.character, self.converter.ignore_idx,
+            )
+            return [[t, c] for t, c in zip(texts, np.asarray(confs)[:n].tolist())]
+
         indices, values, probs = self._apply_probs(self.params, x, mask)
         indices = np.asarray(indices)[:n]
         values = np.asarray(values)[:n]
@@ -151,6 +183,45 @@ class Recognizer:
         confidences = greedy_confidences(indices, values)
 
         return [[t, c] for t, c in zip(texts, confidences)]
+
+
+def recognize_crops(recognizer: Recognizer, crops, keep_mask=None,
+                    img_h: int = 64, ladder=None):
+    """Width-bucketed batch recognition over raw grey crops (config 2).
+
+    Crops are grouped by their aspect-preserved pad width onto the bucket
+    ladder, each bucket runs as one pipelined device batch, and results
+    scatter back to input order.  Returns [[text, confidence], ...].
+    """
+    from ocrfa_tpu.preproc.buckets import WIDTH_BUCKETS, bucketize
+
+    if not crops:
+        return []
+    ladder = ladder or WIDTH_BUCKETS
+    if keep_mask is None:
+        keep_mask = keep_mask_for(recognizer.converter.num_classes,
+                                  recognizer.converter.ignore_idx)
+
+    import math
+
+    widths = []
+    for crop in crops:
+        h, w = np.asarray(crop).shape[:2]
+        ratio = w / h if w >= h else h / w
+        widths.append(math.ceil(ratio) * img_h)
+
+    groups = bucketize(widths, ladder)
+    results = [None] * len(crops)
+    handles = []
+    for bucket_w, indices in groups.items():
+        for start in range(0, len(indices), MAX_DEVICE_BATCH):
+            chunk_idx = indices[start:start + MAX_DEVICE_BATCH]
+            batch = align_collate_u8([crops[i] for i in chunk_idx], img_h, bucket_w)
+            handles.append((chunk_idx, recognizer.predict_async(batch, keep_mask)))
+    for chunk_idx, handle in handles:
+        for i, res in zip(chunk_idx, recognizer.collect(handle)):
+            results[i] = res
+    return results
 
 
 def recognizer_predict(recognizer: Recognizer, images, img_h: int, img_w: int,

@@ -90,3 +90,30 @@ class TestDeviceBeam:
         # scores sorted best-first
         s = np.asarray(scores)
         assert np.all(np.diff(s, axis=1) <= 1e-6)
+
+
+class TestBeamFastPipeline:
+    def test_decoder_beamsearch_fast(self):
+        import jax
+        import numpy as np
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer
+
+        conv = CTCLabelConverter("ابت")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64),
+            conv,
+        )
+        keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        rng = np.random.default_rng(1)
+        batch = rng.integers(0, 255, (2, 64, 64, 1)).astype(np.uint8)
+        fast = rec.predict(batch, keep, decoder="beamsearch_fast", beam_width=4)
+        greedy = rec.predict(batch, keep, decoder="greedy")
+        assert len(fast) == 2
+        for (t1, c1), (t2, c2) in zip(fast, greedy):
+            assert isinstance(t1, str)
+            assert np.isclose(c1, c2)  # confidence definition shared

@@ -1,0 +1,101 @@
+"""Retry wrapper and training checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from ocrfa_tpu.utils.resilience import CheckpointManager, with_retries
+
+
+class TestRetries:
+    def test_succeeds_after_failures(self):
+        calls = {"n": 0}
+
+        def flaky():
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return "ok"
+
+        assert with_retries(flaky, retries=3, backoff_s=0.0) == "ok"
+        assert calls["n"] == 3
+
+    def test_exhausts(self):
+        def always_fails():
+            raise RuntimeError("boom")
+
+        with pytest.raises(RuntimeError):
+            with_retries(always_fails, retries=2, backoff_s=0.0)
+
+    def test_non_retriable_raises_immediately(self):
+        calls = {"n": 0}
+
+        def bad():
+            calls["n"] += 1
+            raise ValueError("logic error")
+
+        with pytest.raises(ValueError):
+            with_retries(bad, retries=3, backoff_s=0.0)
+        assert calls["n"] == 1
+
+
+class TestCheckpointManager:
+    def test_save_restore_gc(self, tmp_path):
+        import jax
+
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.train import make_optimizer
+
+        params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=8,
+                                output_channel=64, hidden_size=64)
+        opt = make_optimizer()
+        state = opt.init(params)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpts"), every_steps=10, keep=2)
+        assert not mgr.maybe_save(5, params, state)
+        assert mgr.maybe_save(10, params, state)
+        mgr.save(20, params, state)
+        mgr.save(30, params, state)
+
+        assert mgr.latest_step() == 30
+        step, p2, s2 = mgr.restore()
+        assert step == 30
+        flat1, _ = jax.tree.flatten(params)
+        flat2, _ = jax.tree.flatten(p2)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # gc keeps only the last 2
+        assert mgr.restore(10) is None or step == 30
+
+    def test_restore_empty(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "none"))
+        assert mgr.restore() is None
+
+
+class TestRecognizeCrops:
+    def test_bucketed_multi_width(self):
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer, recognize_crops
+
+        conv = CTCLabelConverter("ابت")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64),
+            conv,
+        )
+        rng = np.random.default_rng(0)
+        crops = [rng.integers(0, 255, (64, w), dtype=np.uint8)
+                 for w in (80, 300, 90, 260)]
+        out = recognize_crops(rec, crops)
+        assert len(out) == 4
+        assert all(isinstance(t, str) for t, _ in out)
+        # same crop content -> same text regardless of bucket placement
+        out2 = recognize_crops(rec, [crops[0]])
+        assert out2[0][0] == out[0][0]
+
+    def test_empty(self):
+        from ocrfa_tpu.pipeline import recognize_crops
+
+        assert recognize_crops(None, []) == []
