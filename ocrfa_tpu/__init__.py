@@ -10,7 +10,14 @@ Public API mirrors the reference: ``from ocrfa_tpu import OCR``.
 
 __version__ = "0.1.0"
 
-_LAZY = {"OCR": "ocrfa_tpu.api"}
+_LAZY = {
+    "OCR": "ocrfa_tpu.api",
+    "Recognizer": "ocrfa_tpu.pipeline",
+    "CraftDetector": "ocrfa_tpu.detector",
+    "DBNetDetector": "ocrfa_tpu.detector_db",
+    "ServingPipeline": "ocrfa_tpu.serving",
+    "CTCLabelConverter": "ocrfa_tpu.decode.converter",
+}
 
 
 def __getattr__(name):
@@ -24,4 +31,4 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
-__all__ = ["OCR", "__version__"]
+__all__ = list(_LAZY) + ["__version__"]

@@ -116,3 +116,14 @@ class TestReadtextDBNet:
                 assert len(box) == 4 and isinstance(text, str)
         finally:
             ocr.detect_network, ocr.detector = old_net, old_det
+
+
+class TestRotationTTA:
+    def test_rotation_info(self, ocr):
+        result = ocr.readtext(
+            synthetic_page(), canvas_size=128, batch_size=2,
+            rotation_info=[90, 180, 270],
+        )
+        assert isinstance(result, list)
+        for box, text, conf in result:
+            assert isinstance(text, str)
