@@ -46,3 +46,35 @@ class TestGetDisplay:
     def test_trailing_whitespace_resets(self):
         # trailing space stays at the (RTL) line end
         assert get_display("اب ") == " با"
+
+
+class TestGetDisplayEdgeCases:
+    def test_mixed_numbers_punct(self):
+        # "price: 25٪" style mixes resolve without crashing, digits LTR
+        out = get_display("اب: 25")
+        assert "25" in out
+
+    def test_explicit_rlo_reverses_latin(self):
+        # RLO forces right-to-left display of latin letters
+        out = get_display("‮abc‬")
+        assert out == "cba"
+
+    def test_explicit_lro_preserves(self):
+        out = get_display("‭abc‬")
+        assert out == "abc"
+
+    def test_nsm_attaches_to_base(self):
+        # combining marks (Farsi diacritics) stay with their base letter
+        text = "بَا"  # beh + fatha + alef
+        out = get_display(text)
+        assert set(out) == set(text)
+        # the mark reverses with the run, staying adjacent to its base
+        # (renderers attach it; python-bidi behaves the same way)
+        assert abs(out.index("َ") - out.index("ب")) == 1
+
+    def test_long_rtl_roundtrip(self):
+        text = "سلام دنیا از تست"
+        out = get_display(text)
+        # reversing the visual string word-wise reproduces logical order
+        assert set(out) == set(text)
+        assert out.split(" ")[::-1] == [w[::-1] for w in text.split(" ")]
