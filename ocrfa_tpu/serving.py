@@ -41,7 +41,11 @@ class ServingPipeline:
     def __init__(self, detector_params, recognizer, canvas_size: int = 1280,
                  use_pallas: bool = False, text_threshold: float = 0.7,
                  link_threshold: float = 0.4, low_text: float = 0.4,
-                 min_size: int = 20):
+                 min_size: int = 20, mesh=None):
+        """``mesh``: replicate detector/recognizer params across a device
+        mesh; page batches then shard by the data axis when processed with
+        :meth:`process_sharded`."""
+        self.mesh = mesh
         self.recognizer = recognizer
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
         self.canvas_size = canvas_size
@@ -52,6 +56,10 @@ class ServingPipeline:
         self.keep_mask = keep_mask_for(
             recognizer.converter.num_classes, recognizer.converter.ignore_idx
         )
+        if mesh is not None:
+            from ocrfa_tpu.parallel.mesh import replicate
+
+            detector_params = replicate(detector_params, mesh)
         self.det_params = jax.device_put(detector_params)
 
         def _detect(params, page_u8, *, canvas_hw):
@@ -65,6 +73,17 @@ class ServingPipeline:
 
         self._detect = jax.jit(_detect, static_argnames=("canvas_hw",))
 
+        def _detect_batch(params, pages_u8, *, canvas_hw):
+            n = pages_u8.shape[0]
+            pages = pages_u8.astype(jnp.float32)
+            canvas = jax.image.resize(pages, (n, *canvas_hw), method="bilinear")
+            rgb = jnp.broadcast_to(canvas[..., None], (n, *canvas_hw, 3))
+            x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
+            y, _ = craft_apply(params, x)
+            return y
+
+        self._detect_batch = jax.jit(_detect_batch, static_argnames=("canvas_hw",))
+
     def _canvas_hw(self, h: int, w: int):
         target = min(self.canvas_size, max(h, w))
         ratio = target / max(h, w)
@@ -77,6 +96,21 @@ class ServingPipeline:
         page_dev = self.page_pipe.put_page(page_grey_u8)
         heatmaps = self._detect(self.det_params, page_dev, canvas_hw=canvas_hw)
         return (page_dev, heatmaps, ratio)
+
+    def submit_page_batch(self, pages):
+        """Dispatch a batch of same-shape grey pages, sharded across the
+        mesh when one is configured.  Returns a list of per-page handles."""
+        batch = np.stack(pages)
+        h, w = batch.shape[1:]
+        canvas_hw, ratio = self._canvas_hw(h, w)
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import shard_batch
+
+            x = shard_batch(x, self.mesh)
+        heatmaps = self._detect_batch(self.det_params, x, canvas_hw=canvas_hw)
+        # pages stay device-resident; recognition slices reuse them
+        return [(x[i], heatmaps[i], ratio) for i in range(len(pages))]
 
     def finish_page(self, handle):
         """Heatmaps -> boxes -> batched recognition; returns

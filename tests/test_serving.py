@@ -47,3 +47,33 @@ class TestServingPipeline:
         page = np.full((96, 128), 255, dtype=np.uint8)
         result = pipeline.finish_page(pipeline.submit_page(page))
         assert isinstance(result, list)
+
+
+class TestServingMesh:
+    def test_sharded_page_batch(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.craft import init_craft
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.parallel.mesh import create_mesh
+        from ocrfa_tpu.pipeline import Recognizer
+        from ocrfa_tpu.serving import ServingPipeline
+
+        mesh = create_mesh()
+        conv = CTCLabelConverter("ابت")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64),
+            conv, mesh=mesh,
+        )
+        pipe = ServingPipeline(init_craft(jax.random.PRNGKey(1)), rec,
+                               canvas_size=128, mesh=mesh)
+        pages = [synthetic_page(i) for i in range(8)]
+        handles = pipe.submit_page_batch(pages)
+        assert len(handles) == 8
+        results = [pipe.finish_page(h) for h in handles]
+        assert len(results) == 8
