@@ -1,0 +1,106 @@
+"""End-to-end training demonstration: overfit the gen1 CRNN on synthetic
+glyph-rendered Farsi lines until the decoded CER hits zero.
+
+Each charset character gets a fixed random 64x32 glyph; lines are rendered
+by concatenating glyphs right-to-left.  If the full stack (preproc -> conv
+tower -> BiLSTM -> CTC loss -> Adam -> greedy decode) is wired correctly,
+the model memorises the glyph font and CER collapses.
+
+Usage: python scripts/train_demo.py [--steps 300]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+
+def make_font(chars, rng, glyph_w=32, h=64):
+    return {
+        c: (rng.random((h, glyph_w)) > 0.6).astype(np.uint8) * 255
+        for c in chars
+    }
+
+
+def render(text, font, glyph_w=32, h=64):
+    canvas = np.zeros((h, glyph_w * len(text)), dtype=np.uint8)
+    for i, ch in enumerate(text):  # visual RTL: last char leftmost
+        col = (len(text) - 1 - i) * glyph_w
+        canvas[:, col:col + glyph_w] = font[ch]
+    return 255 - canvas  # dark glyphs on white
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--lines", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+    from ocrfa_tpu.decode.device import decode_greedy_batch, keep_mask_for
+    from ocrfa_tpu.eval import cer
+    from ocrfa_tpu.models.crnn import init_crnn_gen1
+    from ocrfa_tpu.pipeline import Recognizer
+    from ocrfa_tpu.train import make_optimizer, make_train_step
+
+    charset = "ابتثجچحخد"
+    conv = CTCLabelConverter(charset)
+    rng = np.random.default_rng(0)
+    font = make_font(charset, rng)
+
+    texts = [
+        "".join(rng.choice(list(charset), size=rng.integers(3, 7)))
+        for _ in range(args.lines)
+    ]
+    width = 32 * 6
+    images = np.zeros((args.lines, 64, width, 1), dtype=np.float32)
+    for i, t in enumerate(texts):
+        img = render(t, font)
+        images[i, :, :img.shape[1], 0] = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+
+    max_len = max(len(t) for t in texts)
+    labels = np.zeros((args.lines, max_len), dtype=np.int32)
+    lengths = np.zeros((args.lines,), dtype=np.int32)
+    for i, t in enumerate(texts):
+        ids = [conv.dict[c] for c in t]
+        labels[i, :len(ids)] = ids
+        lengths[i] = len(ids)
+
+    params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                            output_channel=128, hidden_size=128)
+    opt = make_optimizer(3e-4)
+    state = opt.init(params)
+    step = make_train_step(opt)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        params, state, loss = step(params, state, images, labels, lengths)
+        if i % 50 == 0 or i == args.steps - 1:
+            rec = Recognizer(params, conv)
+            keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+            idx, confs, n = rec.predict_async(
+                (images * 0.5 + 0.5) * 255, keep
+            )  # predict_async renormalises u8... feed f32 directly instead
+            logits = rec._apply(rec.params, images)
+            import jax.numpy as jnp
+
+            probs_idx = np.asarray(jnp.argmax(logits, axis=2))
+            decoded = decode_greedy_batch(probs_idx, conv.character, conv.ignore_idx)
+            rate = cer(decoded, texts)
+            print(f"step {i:4d}  loss {float(loss):8.4f}  CER {rate:.3f}  "
+                  f"({time.time()-t0:.0f}s)")
+            if rate == 0.0 and i > 0:
+                print("CER reached 0 — full train/decode stack verified.")
+                return 0
+    print("final CER did not reach 0; see losses above")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

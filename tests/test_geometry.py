@@ -31,7 +31,7 @@ def random_quads(rng, n, mostly_horizontal=True):
 
 
 class TestGroupTextBox:
-    @pytest.mark.parametrize("seed", range(8))
+    @pytest.mark.parametrize("seed", range(16))
     def test_matches_reference(self, ref_utils, seed):
         rng = np.random.default_rng(seed)
         polys = random_quads(rng, rng.integers(1, 25))
