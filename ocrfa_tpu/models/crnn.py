@@ -38,42 +38,45 @@ from ocrfa_tpu.ops.lstm import bilstm
 # gen1 ResNet feature extractor (blocks.py:195-391)
 
 
-def _basic_block(p, x):
+def _basic_block(p, x, train: bool = False):
     """BlockB: two 3x3 conv-BN with identity (or 1x1-projected) residual."""
     residual = x
     if "downsample" in p:
-        residual = batch_norm(conv2d(x, p["downsample"]["conv"]["w"]), p["downsample"]["bn"])
-    y = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"]))
-    y = batch_norm(conv2d(y, p["conv2"]["w"], padding=1), p["bn2"])
+        residual = batch_norm(conv2d(x, p["downsample"]["conv"]["w"]),
+                              p["downsample"]["bn"], train)
+    y = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"], train))
+    y = batch_norm(conv2d(y, p["conv2"]["w"], padding=1), p["bn2"], train)
     return relu(y + residual)
 
 
-def _layer(p_blocks, x):
+def _layer(p_blocks, x, train: bool = False):
     for p in p_blocks:
-        x = _basic_block(p, x)
+        x = _basic_block(p, x, train)
     return x
 
 
-def resnet_features(p, x):
+def resnet_features(p, x, train: bool = False):
     """gen1 extractor: (N, 64, W, 1) -> (N, 3, W/4+1, C_out)."""
-    x = relu(batch_norm(conv2d(x, p["conv0_1"]["w"], padding=1), p["bn0_1"]))
-    x = relu(batch_norm(conv2d(x, p["conv0_2"]["w"], padding=1), p["bn0_2"]))
+    x = relu(batch_norm(conv2d(x, p["conv0_1"]["w"], padding=1), p["bn0_1"], train))
+    x = relu(batch_norm(conv2d(x, p["conv0_2"]["w"], padding=1), p["bn0_2"], train))
 
     x = max_pool(x, 2, 2)
-    x = _layer(p["layer1"], x)
-    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"]))
+    x = _layer(p["layer1"], x, train)
+    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], padding=1), p["bn1"], train))
 
     x = max_pool(x, 2, 2)
-    x = _layer(p["layer2"], x)
-    x = relu(batch_norm(conv2d(x, p["conv2"]["w"], padding=1), p["bn2"]))
+    x = _layer(p["layer2"], x, train)
+    x = relu(batch_norm(conv2d(x, p["conv2"]["w"], padding=1), p["bn2"], train))
 
     x = max_pool(x, 2, stride=(2, 1), padding=(0, 1))
-    x = _layer(p["layer3"], x)
-    x = relu(batch_norm(conv2d(x, p["conv3"]["w"], padding=1), p["bn3"]))
+    x = _layer(p["layer3"], x, train)
+    x = relu(batch_norm(conv2d(x, p["conv3"]["w"], padding=1), p["bn3"], train))
 
-    x = _layer(p["layer4"], x)
-    x = relu(batch_norm(conv2d(x, p["conv4_1"]["w"], stride=(2, 1), padding=(0, 1)), p["bn4_1"]))
-    x = relu(batch_norm(conv2d(x, p["conv4_2"]["w"], stride=1, padding=0), p["bn4_2"]))
+    x = _layer(p["layer4"], x, train)
+    x = relu(batch_norm(conv2d(x, p["conv4_1"]["w"], stride=(2, 1), padding=(0, 1)),
+                        p["bn4_1"], train))
+    x = relu(batch_norm(conv2d(x, p["conv4_2"]["w"], stride=1, padding=0),
+                        p["bn4_2"], train))
     return x
 
 
@@ -101,9 +104,10 @@ def vgg_features(p, x):
 # Full models
 
 
-def crnn_apply(params, x, variant: str = "gen1"):
+def crnn_apply(params, x, variant: str = "gen1", train: bool = False):
     """Line crops (N, H, W, 1) -> CTC logits (N, T, num_class)."""
-    feats = resnet_features(params["feat"], x) if variant == "gen1" else vgg_features(params["feat"], x)
+    feats = (resnet_features(params["feat"], x, train) if variant == "gen1"
+             else vgg_features(params["feat"], x))
     # torch: permute NCHW->(N,W,C,H), AdaptiveAvgPool2d((None,1)) == mean
     # over H (blocks.py:440-446); NHWC: mean over axis 1.
     seq = jnp.mean(feats, axis=1)  # (N, T, C)

@@ -38,10 +38,21 @@ def conv2d(x, w, b=None, stride=(1, 1), padding=(0, 0), dilation=(1, 1)):
     return out
 
 
-def batch_norm(x, p):
-    """Inference batch norm with torch eps; ``p`` holds scale/bias/mean/var."""
-    inv = jax.lax.rsqrt(p["var"] + BN_EPS) * p["scale"]
-    return x * inv + (p["bias"] - p["mean"] * inv)
+def batch_norm(x, p, train: bool = False):
+    """Batch norm with torch eps; ``p`` holds scale/bias/mean/var.
+
+    ``train=True`` normalises with the current batch's moments (needed to
+    train from scratch — with untouched running stats the 30-layer towers
+    have no signal); inference uses the stored running statistics.
+    """
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        var = jnp.var(x, axis=axes)
+    else:
+        mean, var = p["mean"], p["var"]
+    inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+    return x * inv + (p["bias"] - mean * inv)
 
 
 def max_pool(x, window, stride=None, padding=(0, 0)):

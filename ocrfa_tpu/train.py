@@ -45,7 +45,7 @@ def make_train_step(optimizer, variant: str = "gen1"):
     @jax.jit
     def train_step(params, opt_state, images, labels, label_lengths):
         def loss_fn(p):
-            logits = crnn_apply(p, images, variant=variant)
+            logits = crnn_apply(p, images, variant=variant, train=True)
             return ctc_loss(logits, labels, label_lengths)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

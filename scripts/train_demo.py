@@ -74,7 +74,7 @@ def main():
 
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
                             output_channel=128, hidden_size=128)
-    opt = make_optimizer(3e-4)
+    opt = make_optimizer(1e-3)
     state = opt.init(params)
     step = make_train_step(opt)
 
@@ -82,13 +82,10 @@ def main():
     for i in range(args.steps):
         params, state, loss = step(params, state, images, labels, lengths)
         if i % 50 == 0 or i == args.steps - 1:
-            rec = Recognizer(params, conv)
-            keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
-            idx, confs, n = rec.predict_async(
-                (images * 0.5 + 0.5) * 255, keep
-            )  # predict_async renormalises u8... feed f32 directly instead
-            logits = rec._apply(rec.params, images)
+            from ocrfa_tpu.models.crnn import crnn_apply
             import jax.numpy as jnp
+
+            logits = crnn_apply(params, images, train=True)
 
             probs_idx = np.asarray(jnp.argmax(logits, axis=2))
             decoded = decode_greedy_batch(probs_idx, conv.character, conv.ignore_idx)
