@@ -27,6 +27,10 @@ MEASURE_ITERS = 24
 
 
 def main():
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

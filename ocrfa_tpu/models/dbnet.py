@@ -51,50 +51,54 @@ def _dcn_conv2(p, x, stride: int = 1):
                                  stride=stride, padding=1)
 
 
-def _basic_block(p, x, stride: int = 1):
+def _basic_block(p, x, stride: int = 1, train: bool = False):
     residual = x
-    out = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=stride, padding=1), p["bn1"]))
+    out = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=stride, padding=1),
+                          p["bn1"], train))
     if "conv2_offset" in p:
         out = _dcn_conv2(p, out)
     else:
         out = conv2d(out, p["conv2"]["w"], padding=1)
-    out = batch_norm(out, p["bn2"])
+    out = batch_norm(out, p["bn2"], train)
     if "downsample" in p:
         residual = batch_norm(
-            conv2d(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"]
+            conv2d(x, p["downsample"]["conv"]["w"], stride=stride),
+            p["downsample"]["bn"], train
         )
     return relu(out + residual)
 
 
-def _bottleneck(p, x, stride: int = 1):
+def _bottleneck(p, x, stride: int = 1, train: bool = False):
     residual = x
-    out = relu(batch_norm(conv2d(x, p["conv1"]["w"]), p["bn1"]))
+    out = relu(batch_norm(conv2d(x, p["conv1"]["w"]), p["bn1"], train))
     if "conv2_offset" in p:
         out = _dcn_conv2(p, out, stride=stride)
     else:
         out = conv2d(out, p["conv2"]["w"], stride=stride, padding=1)
-    out = relu(batch_norm(out, p["bn2"]))
-    out = batch_norm(conv2d(out, p["conv3"]["w"]), p["bn3"])
+    out = relu(batch_norm(out, p["bn2"], train))
+    out = batch_norm(conv2d(out, p["conv3"]["w"]), p["bn3"], train)
     if "downsample" in p:
         residual = batch_norm(
-            conv2d(x, p["downsample"]["conv"]["w"], stride=stride), p["downsample"]["bn"]
+            conv2d(x, p["downsample"]["conv"]["w"], stride=stride),
+            p["downsample"]["bn"], train
         )
     return relu(out + residual)
 
 
-def resnet_backbone(p, x, block: str = "basic"):
+def resnet_backbone(p, x, block: str = "basic", train: bool = False):
     """(N, H, W, 3) -> pyramid (c2 /4, c3 /8, c4 /16, c5 /32)."""
     block_fn = _basic_block if block == "basic" else _bottleneck
-    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3), p["bn1"]))
+    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3),
+                        p["bn1"], train))
     x = max_pool(x, 3, 2, padding=1)
 
     feats = []
     for name in ("layer1", "layer2", "layer3", "layer4"):
         stride = 1 if name == "layer1" else 2
         blocks = p[name]
-        x = block_fn(blocks[0], x, stride=stride)
+        x = block_fn(blocks[0], x, stride=stride, train=train)
         for bp in blocks[1:]:
-            x = block_fn(bp, x)
+            x = block_fn(bp, x, train=train)
         feats.append(x)
     return tuple(feats)
 
@@ -118,9 +122,10 @@ def _deconv2x2(x, w, b=None):
     return y
 
 
-def _binarize_head(p, fuse):
-    y = relu(batch_norm(conv2d(fuse, p["conv"]["w"], padding=1), p["bn1"]))
-    y = relu(batch_norm(_deconv2x2(y, p["deconv1"]["w"], p["deconv1"]["b"]), p["bn2"]))
+def _binarize_head(p, fuse, train: bool = False):
+    y = relu(batch_norm(conv2d(fuse, p["conv"]["w"], padding=1), p["bn1"], train))
+    y = relu(batch_norm(_deconv2x2(y, p["deconv1"]["w"], p["deconv1"]["b"]),
+                        p["bn2"], train))
     y = _deconv2x2(y, p["deconv2"]["w"], p["deconv2"]["b"])
     return jax.nn.sigmoid(y)
 
@@ -149,19 +154,21 @@ def _fpn_fuse(p, features):
     return jnp.concatenate([p5, p4, p3, p2], axis=-1), (p5, p4, p3, p2)
 
 
-def seg_detector(p, features, training: bool = False, k: float = 50.0):
+def seg_detector(p, features, training: bool = False, k: float = 50.0,
+                 bn_train: bool = False):
     """FPN decode -> probability map (N, H, W, 1) at input resolution.
 
     With ``training=True`` also returns the adaptive thresh map and the
-    differentiable binarization (seg_detector.py:117-152).
+    differentiable binarization (seg_detector.py:117-152).  ``bn_train``
+    switches batch norms to batch statistics (training from scratch).
     """
     fuse, _ = _fpn_fuse(p, features)
-    binary = _binarize_head(p["binarize"], fuse)
+    binary = _binarize_head(p["binarize"], fuse, bn_train)
     if not training:
         return binary
     result = {"binary": binary}
     if "thresh" in p:
-        thresh = _binarize_head(p["thresh"], fuse)
+        thresh = _binarize_head(p["thresh"], fuse, bn_train)
         result["thresh"] = thresh
         result["thresh_binary"] = step_function(binary, thresh, k)
     return result
@@ -251,11 +258,14 @@ ARCHS = {
 }
 
 
-def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False):
+def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
+                bn_train: bool = False):
     """BGR-mean-normalised page (N, H, W, 3) -> probability heatmap."""
     arch = ARCHS[backbone]
-    features = resnet_backbone(params["backbone"], x, block=arch["block"])
-    return seg_detector(params["decoder"], features, training=training)
+    features = resnet_backbone(params["backbone"], x, block=arch["block"],
+                               train=bn_train)
+    return seg_detector(params["decoder"], features, training=training,
+                        bn_train=bn_train)
 
 
 # ---------------------------------------------------------------------------

@@ -58,3 +58,33 @@ def make_train_step(optimizer, variant: str = "gen1"):
 
 def make_optimizer(learning_rate: float = 1e-3):
     return optax.adam(learning_rate)
+
+
+def make_dbnet_train_step(optimizer, backbone: str = "resnet18",
+                          loss_name: str = "L1BalanceCELoss"):
+    """DBNet training step — the trainer the reference never shipped
+    (SURVEY.md §3.5): differentiable-binarization heads + the configured
+    loss (configs/DBNet_inference.yaml's L1BalanceCELoss by default).
+
+    ``batch`` dict: ``image`` (N,H,W,3) BGR-mean-normalised, plus the loss
+    supervision maps ``gt``/``mask``/``thresh_map``/``thresh_mask``.
+    """
+    from ocrfa_tpu.models.dbnet import dbnet_apply
+    from ocrfa_tpu.models.losses import build_loss
+
+    loss_fn_inner = build_loss(loss_name)
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            pred = dbnet_apply(p, batch["image"], backbone=backbone,
+                               training=True, bn_train=True)
+            loss, metrics = loss_fn_inner(pred, batch)
+            return loss, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss, metrics
+
+    return train_step

@@ -61,3 +61,36 @@ class TestDBNetGraph:
         x = np.zeros((1, 64, 64, 3), dtype=np.float32)
         y = dbnet.dbnet_apply(params, x, backbone="resnet50")
         assert y.shape == (1, 64, 64, 1)
+
+
+class TestDBNetTraining:
+    def test_train_step_reduces_loss(self):
+        import jax
+        import numpy as np
+
+        from ocrfa_tpu.train import make_dbnet_train_step, make_optimizer
+
+        params = dbnet.init_dbnet(jax.random.PRNGKey(0), backbone="resnet18")
+        opt = make_optimizer(1e-3)
+        state = opt.init(params)
+        step = make_dbnet_train_step(opt)
+
+        rng = np.random.default_rng(0)
+        h = w = 64
+        gt = np.zeros((2, h, w, 1), np.float32)
+        gt[:, 20:40, 10:50] = 1.0
+        batch = {
+            "image": rng.standard_normal((2, h, w, 3)).astype(np.float32) * 0.1,
+            "gt": gt,
+            "mask": np.ones((2, h, w), np.float32),
+            "thresh_map": gt[..., 0] * 0.5,
+            "thresh_mask": np.ones((2, h, w), np.float32),
+        }
+        p, s = params, state
+        losses = []
+        for _ in range(5):
+            p, s, loss, metrics = step(p, s, batch)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert "bce_loss" in metrics
