@@ -60,6 +60,72 @@ def make_optimizer(learning_rate: float = 1e-3):
     return optax.adam(learning_rate)
 
 
+def calibrate_bn_stats(params, apply_fn, batches, momentum: float | None = None):
+    """Post-training BN calibration: write batch statistics into the
+    running ``mean``/``var`` slots so the trained model can run in
+    inference mode (train-mode BN never updates them).
+
+    ``apply_fn(params, batch)`` must run a forward pass whose batch norms
+    see representative activations; statistics are captured by re-running
+    each norm's input through a traced intercept.
+
+    Implementation: wraps ``ocrfa_tpu.models.layers.batch_norm`` to record
+    per-call moments, then averages over ``batches`` (equal weighting when
+    ``momentum`` is None, EMA otherwise).
+    """
+    from unittest import mock
+
+    import numpy as np
+
+    from ocrfa_tpu.models import layers
+
+    records: dict = {}
+    orig = layers.batch_norm
+    counter = [0]
+
+    def recording_bn(x, p, train: bool = False):
+        idx = counter[0]
+        counter[0] += 1
+        axes = tuple(range(x.ndim - 1))
+        mean = np.asarray(jnp.mean(x, axis=axes).astype(jnp.float32))
+        var = np.asarray(jnp.var(x, axis=axes).astype(jnp.float32))
+        slot = records.setdefault(idx, {"p": p, "means": [], "vars": []})
+        slot["means"].append(mean)
+        slot["vars"].append(var)
+        return orig(x, p, train=True)
+
+    for batch in batches:
+        counter[0] = 0
+        with mock.patch.object(layers, "batch_norm", recording_bn):
+            apply_fn(params, batch)
+
+    # write averaged moments into the (identity-matched) param dicts
+    id_to_stats = {}
+    for slot in records.values():
+        key = id(slot["p"])
+        if momentum is None:
+            mean = np.mean(slot["means"], axis=0)
+            var = np.mean(slot["vars"], axis=0)
+        else:
+            mean, var = slot["means"][0], slot["vars"][0]
+            for m2, v2 in zip(slot["means"][1:], slot["vars"][1:]):
+                mean = (1 - momentum) * mean + momentum * m2
+                var = (1 - momentum) * var + momentum * v2
+        id_to_stats[key] = (mean, var)
+
+    def rewrite(tree):
+        if isinstance(tree, dict):
+            if id(tree) in id_to_stats and "mean" in tree and "var" in tree:
+                mean, var = id_to_stats[id(tree)]
+                return {**tree, "mean": jnp.asarray(mean), "var": jnp.asarray(var)}
+            return {k: rewrite(v) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [rewrite(v) for v in tree]
+        return tree
+
+    return rewrite(params)
+
+
 def make_dbnet_train_step(optimizer, backbone: str = "resnet18",
                           loss_name: str = "L1BalanceCELoss"):
     """DBNet training step — the trainer the reference never shipped

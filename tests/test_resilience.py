@@ -124,3 +124,32 @@ class TestQuantizedRecognizer:
         # int8 is near-identical; confidences within a few percent
         for (t1, c1), (t2, c2) in zip(exact, quant):
             assert abs(c1 - c2) < 0.1
+
+
+class TestBNCalibration:
+    def test_calibrated_inference_matches_train_mode(self):
+        import jax
+        import numpy as np
+
+        from ocrfa_tpu.models.crnn import crnn_apply, init_crnn_gen1
+        from ocrfa_tpu.train import calibrate_bn_stats
+
+        params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=8,
+                                output_channel=64, hidden_size=64)
+        rng = np.random.default_rng(0)
+        # shift/scale so batch moments differ from the (0, 1) BN defaults
+        batch = (rng.standard_normal((4, 64, 64, 1)) * 3.0 + 2.0).astype(np.float32)
+
+        # single calibration batch: running stats == that batch's moments,
+        # so inference-mode output must equal train-mode output exactly
+        calibrated = calibrate_bn_stats(
+            params, lambda p, b: crnn_apply(p, b, train=True), [batch]
+        )
+        train_out = np.asarray(crnn_apply(params, batch, train=True))
+        infer_out = np.asarray(crnn_apply(calibrated, batch, train=False))
+        np.testing.assert_allclose(infer_out, train_out, atol=1e-4, rtol=1e-4)
+
+        # and the stats were actually rewritten (defaults are mean 0, var 1)
+        bn = calibrated["feat"]["bn0_1"]
+        assert np.abs(np.asarray(bn["mean"])).max() > 1e-3
+        assert np.abs(np.asarray(bn["var"]) - 1.0).max() > 1e-3
