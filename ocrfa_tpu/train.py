@@ -73,11 +73,21 @@ def calibrate_bn_stats(params, apply_fn, batches, momentum: float | None = None)
     per-call moments, then averages over ``batches`` (equal weighting when
     ``momentum`` is None, EMA otherwise).
     """
+    import contextlib
     from unittest import mock
 
     import numpy as np
 
     from ocrfa_tpu.models import layers
+
+    # models bind batch_norm via `from layers import batch_norm`, so every
+    # model module's own reference must be patched, not just layers'
+    import ocrfa_tpu.models.craft as _craft
+    import ocrfa_tpu.models.crnn as _crnn
+    import ocrfa_tpu.models.dbnet as _dbnet
+    import ocrfa_tpu.models.mobilenetv3 as _mnv3
+
+    _PATCH_MODULES = [layers, _crnn, _craft, _dbnet, _mnv3]
 
     records: dict = {}
     orig = layers.batch_norm
@@ -96,7 +106,12 @@ def calibrate_bn_stats(params, apply_fn, batches, momentum: float | None = None)
 
     for batch in batches:
         counter[0] = 0
-        with mock.patch.object(layers, "batch_norm", recording_bn):
+        with contextlib.ExitStack() as stack:
+            for module in _PATCH_MODULES:
+                if getattr(module, "batch_norm", None) is not None:
+                    stack.enter_context(
+                        mock.patch.object(module, "batch_norm", recording_bn)
+                    )
             apply_fn(params, batch)
 
     # write averaged moments into the (identity-matched) param dicts

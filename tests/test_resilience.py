@@ -147,7 +147,7 @@ class TestBNCalibration:
         )
         train_out = np.asarray(crnn_apply(params, batch, train=True))
         infer_out = np.asarray(crnn_apply(calibrated, batch, train=False))
-        np.testing.assert_allclose(infer_out, train_out, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(infer_out, train_out, atol=1e-6, rtol=1e-4)
 
         # and the stats were actually rewritten (defaults are mean 0, var 1)
         bn = calibrated["feat"]["bn0_1"]
