@@ -1,6 +1,7 @@
 """Tests for CRAFT heatmap post-processing (cv2-free) and min-area rect."""
 
 import numpy as np
+import pytest
 
 from ocrfa_tpu.geometry.craft_post import (
     adjust_result_coordinates,
@@ -112,3 +113,36 @@ class TestCraftDetectorEndToEnd:
         assert isinstance(result, list) and len(result) == 1
         for box in result[0]:
             assert box.dtype == np.int32 and box.size == 8
+
+
+class TestGetPolyCore:
+    def test_poly_on_wide_component(self):
+        from ocrfa_tpu.geometry.craft_post import get_det_boxes
+
+        # wide, thin text-like band -> polygon refinement has room to work
+        text = np.zeros((80, 240), dtype=np.float32)
+        text[30:50, 20:220] = 0.9
+        link = np.zeros_like(text)
+        boxes, polys, mapper = get_det_boxes(text, link, 0.7, 0.4, 0.4, poly=True)
+        assert len(boxes) == 1
+        assert len(polys) == 1
+        poly = polys[0]
+        # refinement either produces a >=4-point polygon or falls back (None)
+        if poly is not None:
+            assert poly.shape[0] >= 4 and poly.shape[1] == 2
+
+    def test_small_box_skipped(self):
+        from ocrfa_tpu.geometry.craft_post import get_poly_core
+
+        boxes = [np.array([[0, 0], [5, 0], [5, 5], [0, 5]], dtype=np.float32)]
+        labels = np.zeros((20, 20), dtype=np.int32)
+        polys = get_poly_core(boxes, labels, [1], labels.astype(np.float32))
+        assert polys == [None]
+
+    def test_poly_with_estimate_chars_raises(self):
+        from ocrfa_tpu.geometry.craft_post import get_det_boxes
+
+        with pytest.raises(Exception):
+            get_det_boxes(np.zeros((10, 10), np.float32),
+                          np.zeros((10, 10), np.float32),
+                          0.7, 0.4, 0.4, poly=True, estimate_num_chars=True)
