@@ -93,9 +93,11 @@ def encode(params, images, heads: int):
 # decoder
 
 
-def _decoder_block(blk, x, memory, heads: int, self_mask, cache=None, idx=None):
+def _decoder_block(blk, x, memory, heads: int, self_mask, cache=None, idx=None,
+                   cross_kv=None):
     """One pre-LN decoder block; with ``cache`` given, runs a single
-    incremental step writing K/V at position ``idx``."""
+    incremental step writing K/V at position ``idx``.  ``cross_kv`` supplies
+    precomputed encoder K/V (computed once per sequence, not per step)."""
     y = _layer_norm(blk["ln1"], x)
     d = y.shape[-1]
     dh = d // heads
@@ -117,7 +119,13 @@ def _decoder_block(blk, x, memory, heads: int, self_mask, cache=None, idx=None):
         new_cache = None
     x = x + o.reshape(*y.shape[:-1], d) @ blk["self"]["wo"]
 
-    x = x + _mha(blk["cross"], _layer_norm(blk["ln2"], x), memory, heads)
+    yc = _layer_norm(blk["ln2"], x)
+    if cross_kv is not None:
+        qc = proj(blk["cross"]["wq"], yc)
+        oc = _attention(qc, cross_kv["k"], cross_kv["v"])
+        x = x + oc.reshape(*yc.shape[:-1], d) @ blk["cross"]["wo"]
+    else:
+        x = x + _mha(blk["cross"], yc, memory, heads)
     x = x + _mlp(blk["mlp"], _layer_norm(blk["ln3"], x))
     return x, new_cache
 
@@ -161,14 +169,22 @@ def greedy_generate(params, images, heads: int = 8, max_len: int = 64):
         }
         for _ in range(n_blocks)
     ]
+    # encoder K/V once per sequence (cross-attention never changes per step)
+    cross_kvs = [
+        {
+            "k": (memory @ blk["cross"]["wk"]).reshape(n, -1, n_heads, dh),
+            "v": (memory @ blk["cross"]["wv"]).reshape(n, -1, n_heads, dh),
+        }
+        for blk in p["blocks"]
+    ]
 
     def step(carry, idx):
         token, done, caches = carry
         x = p["embed"][token][:, None, :] + p["pos"][idx][None, None, :]
         new_caches = []
-        for blk, cache in zip(p["blocks"], caches):
+        for blk, cache, cross_kv in zip(p["blocks"], caches, cross_kvs):
             x, cache = _decoder_block(blk, x, memory, n_heads, None,
-                                      cache=cache, idx=idx)
+                                      cache=cache, idx=idx, cross_kv=cross_kv)
             new_caches.append(cache)
         x = _layer_norm(p["ln_f"], x)
         logits = x[:, 0] @ p["out"]["w"] + p["out"]["b"]
