@@ -40,6 +40,7 @@ from ocrfa_tpu.io import (
 )
 from ocrfa_tpu.pipeline import Recognizer, get_text
 from ocrfa_tpu.utils.bidi import get_display
+from ocrfa_tpu.utils.profiling import GLOBAL_TIMER
 
 LOGGER = getLogger(__name__)
 
@@ -552,24 +553,27 @@ class OCR:
         output_format="standard",
     ):
         """Full-page OCR (ocr.py:504-582)."""
-        img, img_cv_grey = reformat_input(image)
+        with GLOBAL_TIMER.stage("readtext/reformat"):
+            img, img_cv_grey = reformat_input(image)
 
-        horizontal_list, free_list = self.transform_ua(
-            img, min_size=min_size, text_threshold=text_threshold,
-            low_text=low_text, link_threshold=link_threshold,
-            canvas_size=canvas_size, mag_ratio=mag_ratio, slope_ths=slope_ths,
-            ycenter_ths=ycenter_ths, height_ths=height_ths, width_ths=width_ths,
-            add_margin=add_margin, reformat=False, threshold=threshold,
-            bbox_min_score=bbox_min_score, bbox_min_size=bbox_min_size,
-            max_candidates=max_candidates,
-        )
+        with GLOBAL_TIMER.stage("readtext/detect"):
+            horizontal_list, free_list = self.transform_ua(
+                img, min_size=min_size, text_threshold=text_threshold,
+                low_text=low_text, link_threshold=link_threshold,
+                canvas_size=canvas_size, mag_ratio=mag_ratio, slope_ths=slope_ths,
+                ycenter_ths=ycenter_ths, height_ths=height_ths, width_ths=width_ths,
+                add_margin=add_margin, reformat=False, threshold=threshold,
+                bbox_min_score=bbox_min_score, bbox_min_size=bbox_min_size,
+                max_candidates=max_candidates,
+            )
         horizontal_list, free_list = horizontal_list[0], free_list[0]
-        return self.recognize(
-            img_cv_grey, horizontal_list, free_list, decoder, beamWidth,
-            batch_size, workers, allowlist, blocklist, detail, rotation_info,
-            paragraph, contrast_ths, adjust_contrast, filter_ths, y_ths, x_ths,
-            False, output_format,
-        )
+        with GLOBAL_TIMER.stage("readtext/recognize"):
+            return self.recognize(
+                img_cv_grey, horizontal_list, free_list, decoder, beamWidth,
+                batch_size, workers, allowlist, blocklist, detail, rotation_info,
+                paragraph, contrast_ths, adjust_contrast, filter_ths, y_ths, x_ths,
+                False, output_format,
+            )
 
     def readtextlang(self, image, **kwargs):
         """Language-tagging variant (ocr.py:584-690).

@@ -84,7 +84,7 @@ def resnet_features(p, x, train: bool = False):
 # gen2 VGG feature extractor (blocks.py:105-183)
 
 
-def vgg_features(p, x):
+def vgg_features(p, x, train: bool = False):
     """gen2 extractor: (N, 64, W, 1) -> (N, 3, W/4-1, C_out)."""
     x = relu(conv2d(x, p["conv0"]["w"], p["conv0"]["b"], padding=1))
     x = max_pool(x, 2, 2)
@@ -93,8 +93,8 @@ def vgg_features(p, x):
     x = relu(conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1))
     x = relu(conv2d(x, p["conv3"]["w"], p["conv3"]["b"], padding=1))
     x = max_pool(x, (2, 1), (2, 1))
-    x = relu(batch_norm(conv2d(x, p["conv4"]["w"], padding=1), p["bn4"]))
-    x = relu(batch_norm(conv2d(x, p["conv5"]["w"], padding=1), p["bn5"]))
+    x = relu(batch_norm(conv2d(x, p["conv4"]["w"], padding=1), p["bn4"], train))
+    x = relu(batch_norm(conv2d(x, p["conv5"]["w"], padding=1), p["bn5"], train))
     x = max_pool(x, (2, 1), (2, 1))
     x = relu(conv2d(x, p["conv6"]["w"], p["conv6"]["b"], padding=0))
     return x
@@ -107,7 +107,7 @@ def vgg_features(p, x):
 def crnn_apply(params, x, variant: str = "gen1", train: bool = False):
     """Line crops (N, H, W, 1) -> CTC logits (N, T, num_class)."""
     feats = (resnet_features(params["feat"], x, train) if variant == "gen1"
-             else vgg_features(params["feat"], x))
+             else vgg_features(params["feat"], x, train))
     # torch: permute NCHW->(N,W,C,H), AdaptiveAvgPool2d((None,1)) == mean
     # over H (blocks.py:440-446); NHWC: mean over axis 1.
     seq = jnp.mean(feats, axis=1)  # (N, T, C)
