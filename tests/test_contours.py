@@ -115,3 +115,40 @@ class TestDBNetPost:
         polys, scores = det.polygons_from_bitmap(hmap, bitmap, 96, 64)
         assert len(polys) == 1
         assert np.array(polys[0]).shape[1] == 2
+
+
+class TestUnclipRotated:
+    def test_rotated_rect_expansion(self):
+        """min-area rect of a round-join offset rectangle equals the
+        original expanded by the offset distance on each side."""
+        from ocrfa_tpu.detector_db import get_mini_boxes
+
+        theta = np.deg2rad(20)
+        c, s = np.cos(theta), np.sin(theta)
+        base = np.array([[0, 0], [60, 0], [60, 16], [0, 16]], dtype=np.float64)
+        rot = base @ np.array([[c, s], [-s, c]]) + [40, 40]
+        d = polygon_area(rot) * 1.5 / arc_length(rot)
+
+        out = unclip(rot, 1.5)
+        assert out.dtype != object
+        box, sside = get_mini_boxes(out.reshape(-1, 2))
+        _, orig_sside = get_mini_boxes(rot)
+        # short side grows by ~2d (raster EDT gives ~±1px accuracy)
+        assert abs(sside - (orig_sside + 2 * d)) < 2.5
+
+
+class TestGetMiniBoxes:
+    def test_corner_ordering(self):
+        """Reference index shuffle: output order is tl, tr, br, bl
+        (DBNet.py:335-356)."""
+        from ocrfa_tpu.detector_db import get_mini_boxes
+
+        pts = np.array([[10, 5], [50, 5], [50, 25], [10, 25]], dtype=np.float64)
+        box, sside = get_mini_boxes(pts)
+        box = np.array(box)
+        assert np.isclose(sside, 20)
+        # tl has min x+y; br has max x+y
+        sums = box.sum(axis=1)
+        assert sums.argmin() == 0 and sums.argmax() == 2
+        assert box[1][0] > box[0][0]  # tr right of tl
+        assert box[3][1] > box[0][1]  # bl below tl
