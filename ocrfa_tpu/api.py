@@ -71,11 +71,15 @@ def build_recognizer(recog_network: str, network_params: dict, character: str,
         module = importlib.import_module(recog_network)
         return module.build_recognizer(sd, converter, network_params)
 
-    compute_dtype = jnp.bfloat16 if (quantize and device == "tpu") else jnp.float32
-    # parity note: bf16 trades exactness for throughput, like the reference's
-    # dynamic int8 quantization on CPU (utils.py:687-690); pass quantize=False
-    # for f32-exact output.
-    return Recognizer(params, converter, variant=variant, compute_dtype=compute_dtype)
+    # Reference semantics: dynamic int8 quantization applies on CPU only
+    # (utils.py:679-693); the accelerator path runs full precision.  So the
+    # TPU default stays f32-exact (character-identical decodes), CPU honours
+    # ``quantize`` via the int8 tower, and throughput users can construct
+    # ``Recognizer(..., compute_dtype=bfloat16)`` or ``quantized=True``
+    # directly.
+    quantized = bool(quantize) and device == "cpu" and variant == "gen1"
+    return Recognizer(params, converter, variant=variant,
+                      compute_dtype=jnp.float32, quantized=quantized)
 
 
 def build_detector(detect_network: str, model_path: str, device: str = "tpu",

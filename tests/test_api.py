@@ -127,3 +127,10 @@ class TestRotationTTA:
         assert isinstance(result, list)
         for box, text, conf in result:
             assert isinstance(text, str)
+
+
+class TestReadtextLang:
+    def test_language_tagging(self, ocr):
+        tagged = ocr.readtextlang(synthetic_page(), canvas_size=128)
+        for item in tagged:
+            assert item[-1] in ("en", "fa")
