@@ -134,7 +134,6 @@ def approx_poly_dp(points: np.ndarray, epsilon: float, closed: bool = True) -> n
 
         dp(idx1)
         dp(idx2)
-        keep.discard(0 if (n in keep or 0 in keep) and False else -1)
         order = sorted(i % n for i in keep)
         # dedupe while preserving order
         seen, out = set(), []
