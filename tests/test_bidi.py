@@ -78,3 +78,29 @@ class TestGetDisplayEdgeCases:
         # reversing the visual string word-wise reproduces logical order
         assert set(out) == set(text)
         assert out.split(" ")[::-1] == [w[::-1] for w in text.split(" ")]
+
+
+class TestGetDisplayProperties:
+    def test_multiset_preserved_on_charset(self):
+        """For any recognizer-output string, display reordering must keep
+        exactly the same characters (no formatting codes in the charset)."""
+        import numpy as np
+
+        from ocrfa_tpu.registry import RECOGNITION_MODELS
+
+        chars = list(RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"])
+        rng = np.random.default_rng(0)
+        for _ in range(100):
+            n = int(rng.integers(0, 30))
+            s = "".join(rng.choice(chars, size=n))
+            out = get_display(s)
+            assert sorted(out) == sorted(s)
+
+    def test_deterministic(self):
+        s = "اب 12 cd «اب»"
+        assert get_display(s) == get_display(s)
+
+    def test_idempotent_on_ltr(self):
+        # pure-LTR strings are fixed points
+        for s in ("hello", "a1b2", "...", ""):
+            assert get_display(get_display(s)) == get_display(s)
