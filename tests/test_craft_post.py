@@ -146,3 +146,24 @@ class TestGetPolyCore:
             get_det_boxes(np.zeros((10, 10), np.float32),
                           np.zeros((10, 10), np.float32),
                           0.7, 0.4, 0.4, poly=True, estimate_num_chars=True)
+
+
+class TestCanvasBucketing:
+    def test_bucketed_canvas_runs(self):
+        """canvas_bucket trades exactness near borders for a bounded compile
+        count (the zero pad can perturb border components); the option must
+        produce structurally valid detections."""
+        import jax
+
+        from ocrfa_tpu.detector import CraftDetector, get_textbox
+        from ocrfa_tpu.models.craft import init_craft
+
+        params = init_craft(jax.random.PRNGKey(0))
+        bucketed = CraftDetector(params, canvas_bucket=64)
+        page = np.random.default_rng(0).integers(0, 255, (70, 100, 3)).astype(np.uint8)
+        kw = dict(canvas_size=128, mag_ratio=1.0, text_threshold=0.7,
+                  link_threshold=0.4, low_text=0.4, poly=False)
+        out = get_textbox(bucketed, page, **kw)
+        assert isinstance(out, list) and len(out) == 1
+        for box in out[0]:
+            assert box.dtype == np.int32 and box.size == 8
