@@ -43,8 +43,8 @@ class ServingPipeline:
                  link_threshold: float = 0.4, low_text: float = 0.4,
                  min_size: int = 20, mesh=None):
         """``mesh``: replicate detector/recognizer params across a device
-        mesh; page batches then shard by the data axis when processed with
-        :meth:`process_sharded`."""
+        mesh; page batches submitted via :meth:`submit_page_batch` then
+        shard along the data axis."""
         self.mesh = mesh
         self.recognizer = recognizer
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
