@@ -84,3 +84,48 @@ class TestGetTextParity:
     def test_empty_image_list(self, setup):
         _, recognizer, _ = setup
         assert get_text(CHARSET, 64, 256, recognizer, []) == []
+
+
+class TestGetTextParityExtras:
+    def test_wordbeamsearch_with_dictionary(self, ref_utils, setup, tmp_path):
+        model, recognizer, converter = setup
+        # both converters need the same dictionary
+        dict_file = tmp_path / "fa.txt"
+        dict_file.write_text("ab\nabc\ncd\n", encoding="utf-8")
+        from ocrfa_tpu.decode import CTCLabelConverter
+
+        our_conv = CTCLabelConverter(CHARSET, {}, {"fa": str(dict_file)})
+        ref_conv = ref_utils.CTCLabelConverter(CHARSET, {}, {"fa": str(dict_file)})
+        # swap converters in place (params identical)
+        old = recognizer.converter
+        recognizer.converter = our_conv
+        try:
+            image_list = _image_list(55, n=2)
+            ref = ref_utils.get_text(
+                CHARSET, 64, 256, model, ref_conv, image_list,
+                decoder="wordbeamsearch", beamWidth=4, batch_size=2,
+                workers=0, device="cpu",
+            )
+            ours = get_text(CHARSET, 64, 256, recognizer, image_list,
+                            decoder="wordbeamsearch", beam_width=4)
+            for o, r in zip(ours, ref):
+                assert o[1] == r[1]
+        finally:
+            recognizer.converter = old
+
+    def test_contrast_second_pass_forced(self, ref_utils, setup):
+        """contrast_ths=1.01 pushes every crop through the retry pass in
+        both pipelines; outputs must still match."""
+        model, recognizer, converter = setup
+        ref_converter = ref_utils.CTCLabelConverter(CHARSET)
+        image_list = _image_list(77, n=2)
+        ref = ref_utils.get_text(
+            CHARSET, 64, 256, model, ref_converter, image_list,
+            decoder="greedy", batch_size=2, contrast_ths=1.01,
+            adjust_contrast=0.5, workers=0, device="cpu",
+        )
+        ours = get_text(CHARSET, 64, 256, recognizer, image_list,
+                        decoder="greedy", contrast_ths=1.01, adjust_contrast=0.5)
+        for o, r in zip(ours, ref):
+            assert o[1] == r[1]
+            assert np.isclose(o[2], r[2], rtol=1e-2, atol=1e-3)
