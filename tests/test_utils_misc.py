@@ -47,3 +47,37 @@ class TestProgressHook:
         assert "50.0%" in out and "#####" in out
         hook(20, 10, 100)  # clamps at 100
         assert "100.0%" in capsys.readouterr().out
+
+
+class TestDeviceDecodeEdges:
+    def test_all_blank_confidence_zero(self):
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.decode.device import ctc_confidences, decode_greedy_batch
+
+        indices = np.zeros((2, 5), dtype=np.int32)
+        values = np.full((2, 5), 0.9, dtype=np.float32)
+        confs = np.asarray(ctc_confidences(jnp.asarray(indices), jnp.asarray(values)))
+        np.testing.assert_allclose(confs, 0.0)
+        assert decode_greedy_batch(indices, ["[blank]", "a"]) == ["", ""]
+
+    def test_single_step(self):
+        from ocrfa_tpu.decode.device import decode_greedy_batch
+
+        indices = np.array([[1], [0]], dtype=np.int32)
+        assert decode_greedy_batch(indices, ["[blank]", "ب"]) == ["ب", ""]
+
+    def test_confidence_matches_host_custom_mean(self):
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.decode.device import ctc_confidences
+        from ocrfa_tpu.preproc.host import custom_mean
+
+        rng = np.random.default_rng(0)
+        indices = rng.integers(0, 3, (4, 12)).astype(np.int32)
+        values = rng.random((4, 12)).astype(np.float32)
+        confs = np.asarray(ctc_confidences(jnp.asarray(indices), jnp.asarray(values)))
+        for i in range(4):
+            mp = values[i][indices[i] != 0]
+            expected = custom_mean(mp) if len(mp) else 0.0
+            assert np.isclose(confs[i], expected, rtol=1e-5, atol=1e-7)
