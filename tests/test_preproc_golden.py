@@ -61,3 +61,41 @@ class TestGreedyBatchGolden:
                                        ours_conv.ignore_idx)
             ref = ref_conv.decode_greedy(indices.reshape(-1), [t] * n)
             assert ours == ref
+
+
+class TestContrastGolden:
+    def test_contrast_grey(self, ref_utils):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            img = rng.integers(0, 255, (32, 48), dtype=np.uint8)
+            ours = __import__("ocrfa_tpu.preproc.host", fromlist=["contrast_grey"])
+            c1, h1, l1 = ours.contrast_grey(img)
+            c2, h2, l2 = ref_utils.contrast_grey(img)
+            assert np.isclose(c1, c2) and h1 == h2 and l1 == l2
+
+    def test_adjust_contrast_grey(self, ref_utils):
+        from ocrfa_tpu.preproc.host import adjust_contrast_grey
+
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            # low-contrast image to exercise the stretch branch
+            img = rng.integers(100, 140, (32, 48)).astype(np.uint8)
+            np.testing.assert_array_equal(
+                adjust_contrast_grey(img, 0.4), ref_utils.adjust_contrast_grey(img, 0.4)
+            )
+        # high-contrast passthrough
+        img = rng.integers(0, 255, (32, 48), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            adjust_contrast_grey(img, 0.1), ref_utils.adjust_contrast_grey(img, 0.1)
+        )
+
+    def test_normalize_roundtrip(self, ref_utils):
+        from ocrfa_tpu.preproc.host import denormalize_mean_variance, normalize_mean_variance
+
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        ours = normalize_mean_variance(img)
+        ref = ref_utils.normalize_mean_variance(img)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+        back = denormalize_mean_variance(ours)
+        np.testing.assert_allclose(back, img, atol=1)
