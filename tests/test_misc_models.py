@@ -89,3 +89,24 @@ class TestUserNetworkHook:
         assert out[0] == "custom" and out[1] == ["w"]
         assert out[3] == {"hidden": 8}
         sys.modules.pop("mynet", None)
+
+
+class TestDeformRoIPoolGroups:
+    def test_position_sensitive_channel_mapping(self):
+        """group_size=2: each pooled bin reads its own channel group."""
+        from ocrfa_tpu.ops.deform_pool import deform_roi_pool
+
+        c = 16
+        x = np.broadcast_to(
+            np.arange(c, dtype=np.float32), (1, 16, 16, c)
+        ).copy()
+        rois = np.array([[0, 0, 0, 15, 15]], dtype=np.float32)
+        out = np.asarray(deform_roi_pool(
+            x, rois, pooled_size=2, output_dim=4, group_size=2
+        ))[0]
+        cpg = c // 4  # channels per group cell
+        for gy in range(2):
+            for gx in range(2):
+                cell = gy * 2 + gx
+                expected = cell * cpg + np.arange(4)
+                np.testing.assert_allclose(out[gy, gx], expected, atol=1e-4)
