@@ -153,3 +153,27 @@ class TestBNCalibration:
         bn = calibrated["feat"]["bn0_1"]
         assert np.abs(np.asarray(bn["mean"])).max() > 1e-3
         assert np.abs(np.asarray(bn["var"]) - 1.0).max() > 1e-3
+
+
+class TestRecognizeCropsVertical:
+    def test_tall_crop_handled(self):
+        """Vertical text crops (h > w) rotate into wide strips like the
+        reference's calculate_ratio flip (utils.py:1351-1372)."""
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer, recognize_crops
+
+        conv = CTCLabelConverter("اب")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64),
+            conv,
+        )
+        rng = np.random.default_rng(0)
+        tall = rng.integers(0, 255, (200, 40), dtype=np.uint8)   # h > w
+        wide = rng.integers(0, 255, (64, 150), dtype=np.uint8)
+        out = recognize_crops(rec, [tall, wide])
+        assert len(out) == 2
+        assert all(isinstance(t, str) for t, _ in out)
