@@ -189,3 +189,21 @@ class TestBucketProperties:
             prev = b
         for w in range(1, 3000, 53):
             assert bucket_for_width(w) >= min(w, 2560)
+
+
+class TestConverterEdges:
+    def test_encode_unknown_char_raises(self, ref_utils):
+        ours = CTCLabelConverter("ab")
+        ref = ref_utils.CTCLabelConverter("ab")
+        with pytest.raises(KeyError):
+            ours.encode(["ax"])
+        with pytest.raises(KeyError):
+            ref.encode(["ax"])
+
+    def test_separator_ignore_indices(self, ref_utils):
+        sep = {"th": ["\xa2", "\xa3"], "en": ["\xa4", "\xa5"]}
+        # missing dict files raise in the separator branch (reference same)
+        with pytest.raises(OSError):
+            CTCLabelConverter("\xa2\xa3\xa4\xa5ab", sep, {"th": "/nonexistent"})
+        with pytest.raises(OSError):
+            ref_utils.CTCLabelConverter("\xa2\xa3\xa4\xa5ab", sep, {"th": "/nonexistent"})
