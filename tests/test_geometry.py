@@ -145,3 +145,24 @@ class TestGetImageList:
         assert len(image_list) == 1
         assert image_list[0][1].shape[0] == 64
         assert max_width % 64 == 0
+
+
+class TestWarpAnalytic:
+    def test_rotation_matches_rot90(self):
+        """Warping with an exact 90-degree homography reproduces np.rot90."""
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 255, (12, 12), dtype=np.uint8)
+        n = 12
+        # map (x, y) -> (y, n-1-x): 90-degree rotation
+        src = np.array([[0, 0], [n - 1, 0], [n - 1, n - 1], [0, n - 1]], np.float64)
+        dst = np.array([[0, n - 1], [0, 0], [n - 1, 0], [n - 1, n - 1]], np.float64)
+        m = perspective_transform(src, dst)
+        out = warp_perspective(img, m, (n, n))
+        np.testing.assert_array_equal(out, np.rot90(img, k=-1))
+
+    def test_translation(self):
+        img = np.zeros((10, 10), dtype=np.uint8)
+        img[2, 3] = 200
+        m = np.array([[1, 0, 4], [0, 1, 1], [0, 0, 1]], dtype=np.float64)
+        out = warp_perspective(img, m, (10, 10))
+        assert out[3, 7] == 200
