@@ -158,7 +158,7 @@ class TestWarpAnalytic:
         dst = np.array([[0, n - 1], [0, 0], [n - 1, 0], [n - 1, n - 1]], np.float64)
         m = perspective_transform(src, dst)
         out = warp_perspective(img, m, (n, n))
-        np.testing.assert_array_equal(out, np.rot90(img, k=-1))
+        np.testing.assert_array_equal(out, np.rot90(img, k=1))
 
     def test_translation(self):
         img = np.zeros((10, 10), dtype=np.uint8)
