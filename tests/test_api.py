@@ -134,3 +134,22 @@ class TestReadtextLang:
         tagged = ocr.readtextlang(synthetic_page(), canvas_size=128)
         for item in tagged:
             assert item[-1] in ("en", "fa")
+
+
+class TestSignatureParity:
+    @pytest.mark.parametrize("method", ["readtext", "recognize", "transform_ua",
+                                        "readtext_batched"])
+    def test_kwargs_match_reference(self, ref_utils, method):
+        """Parameter names, order, and defaults must match the reference's
+        30-kwarg surface (ocr.py:299-776)."""
+        import importlib
+        import inspect
+
+        ref_ocr = importlib.import_module("ocrfa.ocr")
+        ours = inspect.signature(getattr(OCR, method))
+        ref = inspect.signature(getattr(ref_ocr.OCR, method))
+        our_params = list(ours.parameters.values())
+        ref_params = list(ref.parameters.values())
+        assert [p.name for p in our_params] == [p.name for p in ref_params]
+        for op, rp in zip(our_params, ref_params):
+            assert op.default == rp.default, f"{method}.{op.name}"
