@@ -153,3 +153,14 @@ class TestSignatureParity:
         assert [p.name for p in our_params] == [p.name for p in ref_params]
         for op, rp in zip(our_params, ref_params):
             assert op.default == rp.default, f"{method}.{op.name}"
+
+    def test_init_kwargs_match_reference(self, ref_utils):
+        import importlib
+        import inspect
+
+        ref_ocr = importlib.import_module("ocrfa.ocr")
+        ours = inspect.signature(OCR.__init__)
+        ref = inspect.signature(ref_ocr.OCR.__init__)
+        assert list(ours.parameters) == list(ref.parameters)
+        for name in ours.parameters:
+            assert ours.parameters[name].default == ref.parameters[name].default, name
