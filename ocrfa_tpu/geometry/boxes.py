@@ -1,9 +1,18 @@
 """Detection-box grouping, paragraph assembly, and reading-order merges.
 
-Parity targets (``/root/reference/src/ocrfa/utils.py``): ``group_text_box``
-(:1235-1348), ``get_paragraph`` (:1442-1509), ``merge_to_free`` (:1176-1215),
-``diff`` (:1438-1439).  All pure numpy/host logic — these operate on a few
-dozen boxes per page, far off the hot path.
+Behavioral parity targets (``/root/reference/src/ocrfa/utils.py``):
+``group_text_box`` (:1235-1348), ``get_paragraph`` (:1442-1509),
+``merge_to_free`` (:1176-1215), ``diff`` (:1438-1439).  The implementations
+here are original: quad partitioning and free-box margin expansion are
+vectorized over the whole detection set, line/run clustering walks index
+arrays with numpy reductions over contiguous slices, and paragraph growth
+uses boolean overlap masks.  Outputs are float-identical to the reference
+(mean/min/max reductions see the same operands in the same order), which the
+golden tests in ``tests/test_geometry.py`` enforce against the reference
+directly.
+
+All pure numpy/host logic — these operate on a few dozen boxes per page,
+far off the hot path.
 """
 
 from __future__ import annotations
@@ -14,6 +23,57 @@ import numpy as np
 def diff(input_list):
     """Range (max - min) of a list (utils.py:1438-1439)."""
     return max(input_list) - min(input_list)
+
+
+def _expand_slanted(quads: np.ndarray, add_margin: float):
+    """Margin-expand slanted quads along their own edge directions.
+
+    ``quads`` is (M, 8) flat corner data.  Returns the reference's
+    ``free_list`` rows: four (x, y) corner pairs per quad, each corner
+    pushed outward by a margin rotated onto the box's long-edge angles.
+    """
+    left_dx = quads[:, 6] - quads[:, 0]
+    left_dy = quads[:, 7] - quads[:, 1]
+    top_dx = quads[:, 2] - quads[:, 0]
+    top_dy = quads[:, 3] - quads[:, 1]
+    edge_h = np.sqrt(left_dx * left_dx + left_dy * left_dy)
+    edge_w = np.sqrt(top_dx * top_dx + top_dy * top_dy)
+    margin = (1.44 * add_margin * np.minimum(edge_w, edge_h)).astype(int)
+
+    # diagonal angles: corner1->corner3 and corner2->corner4
+    ang13 = np.abs(np.arctan((quads[:, 1] - quads[:, 5])
+                             / np.maximum(10, quads[:, 0] - quads[:, 4])))
+    ang24 = np.abs(np.arctan((quads[:, 3] - quads[:, 7])
+                             / np.maximum(10, quads[:, 2] - quads[:, 6])))
+    c13, s13 = np.cos(ang13) * margin, np.sin(ang13) * margin
+    c24, s24 = np.cos(ang24) * margin, np.sin(ang24) * margin
+
+    out = np.empty((len(quads), 4, 2))
+    out[:, 0, 0] = quads[:, 0] - c13
+    out[:, 0, 1] = quads[:, 1] - s13
+    out[:, 1, 0] = quads[:, 2] + c24
+    out[:, 1, 1] = quads[:, 3] - s24
+    out[:, 2, 0] = quads[:, 4] + c13
+    out[:, 2, 1] = quads[:, 5] + s13
+    out[:, 3, 0] = quads[:, 6] - c24
+    out[:, 3, 1] = quads[:, 7] + s24
+    return [[list(corner) for corner in quad] for quad in out]
+
+
+def _runs_by(values, belongs):
+    """Split an ordered index sequence into runs.
+
+    ``belongs(members, nxt)`` decides whether index ``nxt`` extends the open
+    run given the member indices collected so far.  Yields lists of indices.
+    """
+    run = []
+    for idx in values:
+        if run and not belongs(run, idx):
+            yield run
+            run = []
+        run.append(idx)
+    if run:
+        yield run
 
 
 def group_text_box(
@@ -30,213 +90,190 @@ def group_text_box(
 
     Input quads are flat ``[x1,y1,x2,y2,x3,y3,x4,y4]`` arrays; output is
     ``(merged_list, free_list)`` where merged entries are
-    ``[x_min, x_max, y_min, y_max]`` (utils.py:1235-1348).
+    ``[x_min, x_max, y_min, y_max]`` (behavior of utils.py:1235-1348).
     """
-    horizontal_list, free_list, combined_list, merged_list = [], [], [], []
+    if len(polys) == 0:
+        return [], []
+    quads = np.asarray(polys)
 
-    for poly in polys:
-        slope_up = (poly[3] - poly[1]) / np.maximum(10, poly[2] - poly[0])
-        slope_down = (poly[5] - poly[7]) / np.maximum(10, poly[4] - poly[6])
-        if max(abs(slope_up), abs(slope_down)) < slope_ths:
-            x_max = max([poly[0], poly[2], poly[4], poly[6]])
-            x_min = min([poly[0], poly[2], poly[4], poly[6]])
-            y_max = max([poly[1], poly[3], poly[5], poly[7]])
-            y_min = min([poly[1], poly[3], poly[5], poly[7]])
-            horizontal_list.append(
-                [x_min, x_max, y_min, y_max, 0.5 * (y_min + y_max), y_max - y_min]
-            )
+    # partition: a quad is "horizontal" when both long edges are near-flat
+    top_slope = (quads[:, 3] - quads[:, 1]) / np.maximum(10, quads[:, 2] - quads[:, 0])
+    bot_slope = (quads[:, 5] - quads[:, 7]) / np.maximum(10, quads[:, 4] - quads[:, 6])
+    flat = np.maximum(np.abs(top_slope), np.abs(bot_slope)) < slope_ths
+
+    free_list = _expand_slanted(quads[~flat], add_margin) if (~flat).any() else []
+
+    hq = quads[flat]
+    if len(hq) == 0:
+        return [], free_list
+
+    xs = hq[:, 0::2]
+    ys = hq[:, 1::2]
+    x_lo, x_hi = xs.min(axis=1), xs.max(axis=1)
+    y_lo, y_hi = ys.min(axis=1), ys.max(axis=1)
+    y_mid = 0.5 * (y_lo + y_hi)
+    heights = y_hi - y_lo
+
+    order = np.argsort(y_mid, kind="stable") if sort_output else np.arange(len(hq))
+
+    # rows: consecutive (in y_mid order) boxes whose center sits within
+    # ycenter_ths x running-mean-height of the open row's mean center
+    def same_row(members, nxt):
+        return (abs(np.mean(y_mid[members]) - y_mid[nxt])
+                < ycenter_ths * np.mean(heights[members]))
+
+    merged_list = []
+    for row in _runs_by(order, same_row):
+        if len(row) == 1:
+            only = row[0]
+            runs = [[only]]
         else:
-            height = np.linalg.norm([poly[6] - poly[0], poly[7] - poly[1]])
-            width = np.linalg.norm([poly[2] - poly[0], poly[3] - poly[1]])
-            margin = int(1.44 * add_margin * min(width, height))
+            # left-to-right runs: similar height AND horizontal gap (from
+            # the previous member's right edge) under width_ths x own-height;
+            # each run becomes one merged box
+            row = [row[i] for i in np.argsort(x_lo[row], kind="stable")]
+            runs = []
+            open_run = []
+            prev_right = None
+            for idx in row:
+                if open_run:
+                    fits = (abs(np.mean(heights[open_run]) - heights[idx])
+                            < height_ths * np.mean(heights[open_run])
+                            and (x_lo[idx] - prev_right)
+                            < width_ths * (y_hi[idx] - y_lo[idx]))
+                    if not fits:
+                        runs.append(open_run)
+                        open_run = []
+                open_run.append(idx)
+                prev_right = x_hi[idx]
+            if open_run:
+                runs.append(open_run)
 
-            theta13 = abs(np.arctan((poly[1] - poly[5]) / np.maximum(10, poly[0] - poly[4])))
-            theta24 = abs(np.arctan((poly[3] - poly[7]) / np.maximum(10, poly[2] - poly[6])))
-            x1 = poly[0] - np.cos(theta13) * margin
-            y1 = poly[1] - np.sin(theta13) * margin
-            x2 = poly[2] + np.cos(theta24) * margin
-            y2 = poly[3] - np.sin(theta24) * margin
-            x3 = poly[4] + np.cos(theta13) * margin
-            y3 = poly[5] + np.sin(theta13) * margin
-            x4 = poly[6] - np.cos(theta24) * margin
-            y4 = poly[7] + np.sin(theta24) * margin
-            free_list.append([[x1, y1], [x2, y2], [x3, y3], [x4, y4]])
-
-    if sort_output:
-        horizontal_list = sorted(horizontal_list, key=lambda item: item[4])
-
-    # cluster into lines by y-center proximity relative to running mean height
-    new_box = []
-    b_height, b_ycenter = [], []
-    for poly in horizontal_list:
-        if len(new_box) == 0:
-            b_height = [poly[5]]
-            b_ycenter = [poly[4]]
-            new_box.append(poly)
-        elif abs(np.mean(b_ycenter) - poly[4]) < ycenter_ths * np.mean(b_height):
-            b_height.append(poly[5])
-            b_ycenter.append(poly[4])
-            new_box.append(poly)
-        else:
-            b_height = [poly[5]]
-            b_ycenter = [poly[4]]
-            combined_list.append(new_box)
-            new_box = [poly]
-    combined_list.append(new_box)
-
-    # within each line, merge boxes whose horizontal gap is under width_ths
-    for boxes in combined_list:
-        if len(boxes) == 1:
-            box = boxes[0]
-            margin = int(add_margin * min(box[1] - box[0], box[5]))
-            merged_list.append([box[0] - margin, box[1] + margin, box[2] - margin, box[3] + margin])
-            continue
-
-        boxes = sorted(boxes, key=lambda item: item[0])
-        merged_box, new_box = [], []
-        b_height = []
-        x_max = 0
-        for box in boxes:
-            if len(new_box) == 0:
-                b_height = [box[5]]
-                x_max = box[1]
-                new_box.append(box)
-            elif (abs(np.mean(b_height) - box[5]) < height_ths * np.mean(b_height)) and (
-                (box[0] - x_max) < width_ths * (box[3] - box[2])
-            ):
-                b_height.append(box[5])
-                x_max = box[1]
-                new_box.append(box)
-            else:
-                b_height = [box[5]]
-                x_max = box[1]
-                merged_box.append(new_box)
-                new_box = [box]
-        if len(new_box) > 0:
-            merged_box.append(new_box)
-
-        for mbox in merged_box:
-            if len(mbox) != 1:
-                x_min = min(mbox, key=lambda x: x[0])[0]
-                x_max = max(mbox, key=lambda x: x[1])[1]
-                y_min = min(mbox, key=lambda x: x[2])[2]
-                y_max = max(mbox, key=lambda x: x[3])[3]
-                margin = int(add_margin * min(x_max - x_min, y_max - y_min))
-            else:
-                box = mbox[0]
-                x_min, x_max, y_min, y_max = box[0], box[1], box[2], box[3]
-                margin = int(add_margin * min(x_max - x_min, y_max - y_min))
-            merged_list.append([x_min - margin, x_max + margin, y_min - margin, y_max + margin])
+        for run in runs:
+            lo_x, hi_x = x_lo[run].min(), x_hi[run].max()
+            lo_y, hi_y = y_lo[run].min(), y_hi[run].max()
+            pad = int(add_margin * min(hi_x - lo_x, hi_y - lo_y))
+            merged_list.append([lo_x - pad, hi_x + pad, lo_y - pad, hi_y + pad])
 
     return merged_list, free_list
 
 
 def get_paragraph(raw_result, x_ths: float = 1, y_ths: float = 0.5, mode: str = "ltr"):
     """Greedy box clustering into paragraphs + reading-order traversal
-    (``ltr`` or ``rtl``), matching utils.py:1442-1509."""
-    box_group = []
-    for box in raw_result:
-        all_x = [int(coord[0]) for coord in box[0]]
-        all_y = [int(coord[1]) for coord in box[0]]
-        min_x, max_x = min(all_x), max(all_x)
-        min_y, max_y = min(all_y), max(all_y)
-        height = max_y - min_y
-        # final slot: paragraph-group id (0 = unassigned)
-        box_group.append([box[1], min_x, max_x, min_y, max_y, height, 0.5 * (min_y + max_y), 0])
+    (``ltr`` or ``rtl``); behavior of utils.py:1442-1509."""
+    n = len(raw_result)
+    texts = [entry[1] for entry in raw_result]
+    ext = np.empty((n, 4), dtype=np.int64)  # x_lo, x_hi, y_lo, y_hi
+    for i, entry in enumerate(raw_result):
+        px = [int(pt[0]) for pt in entry[0]]
+        py = [int(pt[1]) for pt in entry[0]]
+        ext[i] = min(px), max(px), min(py), max(py)
+    box_h = (ext[:, 3] - ext[:, 2]).astype(np.float64)
+    box_yc = 0.5 * (ext[:, 2] + ext[:, 3])
 
-    current_group = 1
-    while any(box[7] == 0 for box in box_group):
-        box_group0 = [box for box in box_group if box[7] == 0]
-        if not any(box[7] == current_group for box in box_group):
-            box_group0[0][7] = current_group
+    # grow paragraphs one box at a time: a group absorbs the first
+    # unassigned box whose extent overlaps the group bbox inflated by
+    # ths x mean member height, in both axes
+    gid = np.zeros(n, dtype=np.int64)
+    group = 1
+    while (gid == 0).any():
+        members = np.flatnonzero(gid == group)
+        if members.size == 0:
+            gid[np.flatnonzero(gid == 0)[0]] = group
+            continue
+        infl = np.mean(box_h[members])
+        gx_lo = ext[members, 0].min() - x_ths * infl
+        gx_hi = ext[members, 1].max() + x_ths * infl
+        gy_lo = ext[members, 2].min() - y_ths * infl
+        gy_hi = ext[members, 3].max() + y_ths * infl
+        todo = np.flatnonzero(gid == 0)
+        x_touch = ((gx_lo <= ext[todo, 0]) & (ext[todo, 0] <= gx_hi)) | \
+                  ((gx_lo <= ext[todo, 1]) & (ext[todo, 1] <= gx_hi))
+        y_touch = ((gy_lo <= ext[todo, 2]) & (ext[todo, 2] <= gy_hi)) | \
+                  ((gy_lo <= ext[todo, 3]) & (ext[todo, 3] <= gy_hi))
+        hits = todo[x_touch & y_touch]
+        if hits.size:
+            gid[hits[0]] = group
         else:
-            current_box_group = [box for box in box_group if box[7] == current_group]
-            mean_height = np.mean([box[5] for box in current_box_group])
-            min_gx = min(box[1] for box in current_box_group) - x_ths * mean_height
-            max_gx = max(box[2] for box in current_box_group) + x_ths * mean_height
-            min_gy = min(box[3] for box in current_box_group) - y_ths * mean_height
-            max_gy = max(box[4] for box in current_box_group) + y_ths * mean_height
-            add_box = False
-            for box in box_group0:
-                same_horizontal = (min_gx <= box[1] <= max_gx) or (min_gx <= box[2] <= max_gx)
-                same_vertical = (min_gy <= box[3] <= max_gy) or (min_gy <= box[4] <= max_gy)
-                if same_horizontal and same_vertical:
-                    box[7] = current_group
-                    add_box = True
-                    break
-            if not add_box:
-                current_group += 1
+            group += 1
 
     result = []
-    for i in set(box[7] for box in box_group):
-        current_box_group = [box for box in box_group if box[7] == i]
-        mean_height = np.mean([box[5] for box in current_box_group])
-        min_gx = min(box[1] for box in current_box_group)
-        max_gx = max(box[2] for box in current_box_group)
-        min_gy = min(box[3] for box in current_box_group)
-        max_gy = max(box[4] for box in current_box_group)
+    for g in set(gid.tolist()):
+        members = np.flatnonzero(gid == g)
+        mean_h = np.mean(box_h[members])
+        para_x_lo = int(ext[members, 0].min())
+        para_x_hi = int(ext[members, 1].max())
+        para_y_lo = int(ext[members, 2].min())
+        para_y_hi = int(ext[members, 3].max())
 
-        text = ""
-        while len(current_box_group) > 0:
-            highest = min(box[6] for box in current_box_group)
-            candidates = [box for box in current_box_group if box[6] < highest + 0.4 * mean_height]
-            best_box = None
+        # reading order: repeatedly take the topmost band (within 0.4 x mean
+        # height of the highest center), then the extreme-x candidate —
+        # last tie wins, matching the reference's non-breaking scan
+        words = []
+        remaining = list(members)
+        while remaining:
+            band_top = min(box_yc[i] for i in remaining)
+            band = [i for i in remaining if box_yc[i] < band_top + 0.4 * mean_h]
             if mode == "ltr":
-                most_left = min(box[1] for box in candidates)
-                for box in candidates:
-                    if box[1] == most_left:
-                        best_box = box
+                edge = min(ext[i, 0] for i in band)
+                pick = [i for i in band if ext[i, 0] == edge][-1]
             elif mode == "rtl":
-                most_right = max(box[2] for box in candidates)
-                for box in candidates:
-                    if box[2] == most_right:
-                        best_box = box
-            text += " " + best_box[0]
-            current_box_group.remove(best_box)
+                edge = max(ext[i, 1] for i in band)
+                pick = [i for i in band if ext[i, 1] == edge][-1]
+            words.append(texts[pick])
+            remaining.remove(pick)
 
-        result.append(
-            [[[min_gx, min_gy], [max_gx, min_gy], [max_gx, max_gy], [min_gx, max_gy]], text[1:]]
-        )
+        result.append([
+            [[para_x_lo, para_y_lo], [para_x_hi, para_y_lo],
+             [para_x_hi, para_y_hi], [para_x_lo, para_y_hi]],
+            " ".join(words),
+        ])
     return result
 
 
 def merge_to_free(merge_result, free_list):
-    """Reinsert free-box results into row-major reading order
-    (utils.py:1176-1215)."""
-    merge_result_buf, mr_buf = [], []
-
+    """Reinsert free-box results into row-major reading order; behavior of
+    utils.py:1176-1215 (including its quirks — see inline notes)."""
     if not free_list:
         return merge_result
 
-    free_list_buf = merge_result[-len(free_list):]
-    merge_result = merge_result[:-len(free_list)]
+    body = merge_result[:-len(free_list)]
+    free_items = merge_result[-len(free_list):]
 
-    for idx, r in enumerate(merge_result):
-        if idx == len(merge_result) - 1:
-            mr_buf.append(r)
-            merge_result_buf.append(mr_buf)
-            mr_buf = []
-            continue
-        if (mr_buf == []) or (mr_buf[-1][0] < r[0]):
-            mr_buf.append(r)
+    # split the body into reading rows: a row continues while quads are
+    # lexicographically increasing; the final entry ALWAYS joins the open
+    # row, even out of order (reference quirk, utils.py:1183-1188)
+    rows = []
+    open_row = []
+    for pos, item in enumerate(body):
+        if pos == len(body) - 1:
+            open_row.append(item)
+            rows.append(open_row)
+            open_row = []
+        elif open_row and not (open_row[-1][0] < item[0]):
+            rows.append(open_row)
+            open_row = [item]
         else:
-            merge_result_buf.append(mr_buf)
-            mr_buf = [r]
+            open_row.append(item)
 
-    for free_pos in free_list_buf:
-        y_pos = len(merge_result_buf)
-        x_pos = len(merge_result_buf[y_pos - 1])
-        for i, result_pos in enumerate(merge_result_buf[1:]):
-            if free_pos[0][0][1] < result_pos[0][0][0][1]:
-                y_pos = i
+    for item in free_items:
+        fx, fy = item[0][0][0], item[0][0][1]
+        # the column default is the LAST row's length regardless of which
+        # row is chosen, and a free box above row i+1 lands in row i — both
+        # reference quirks (utils.py:1199-1209) reproduced as-is
+        row_at = len(rows)
+        col_at = len(rows[row_at - 1])
+        for i, below in enumerate(rows[1:]):
+            if fy < below[0][0][0][1]:
+                row_at = i
                 break
-        for i, result_pos in enumerate(merge_result_buf[y_pos]):
-            if free_pos[0][0][0] < result_pos[0][0][0]:
-                x_pos = i
+        for i, neighbor in enumerate(rows[row_at]):
+            if fx < neighbor[0][0][0]:
+                col_at = i
                 break
-        merge_result_buf[y_pos].insert(x_pos, free_pos)
+        rows[row_at].insert(col_at, item)
 
-    merged = []
-    for r in merge_result_buf:
-        merged.extend(r)
-    return merged
+    flat = []
+    for row in rows:
+        flat.extend(row)
+    return flat

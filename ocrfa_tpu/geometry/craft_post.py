@@ -119,162 +119,192 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
     return det, labels, mapper
 
 
-def _draw_line(canvas, p0, p1):
-    """Rasterise a 1-px segment (cv2.line equivalent for the overlap test)."""
-    h, w = canvas.shape
-    x0, y0 = int(p0[0]), int(p0[1])
-    x1, y1 = int(p1[0]), int(p1[1])
-    n = max(abs(x1 - x0), abs(y1 - y0), 1)
-    xs = np.rint(np.linspace(x0, x1, n + 1)).astype(int)
-    ys = np.rint(np.linspace(y0, y1, n + 1)).astype(int)
-    valid = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
-    canvas[ys[valid], xs[valid]] = 1
-    return canvas
-
-
 def warp_coord(minv, pt):
     out = minv @ np.array([pt[0], pt[1], 1.0])
     return np.array([out[0] / out[2], out[1] / out[2]])
 
 
+# polygon-refinement constants (utils.py:179-183)
+_NUM_PIVOTS = 5
+_TOT_SEG = _NUM_PIVOTS * 2 + 1
+_MAX_LEN_RATIO = 0.7
+_EXPAND_RATIO = 1.45
+_MAX_R = 2.0
+_STEP_R = 0.2
+
+
+def _column_profile(mask):
+    """Per-column extent of a rectified component mask.
+
+    Returns ``(cols, tops, bots)`` for the columns holding at least two
+    labeled pixels (the reference skips columns with fewer, utils.py:210).
+    """
+    counts = mask.sum(axis=0)
+    cols = np.flatnonzero(counts >= 2)
+    if cols.size == 0:
+        return cols, cols, cols
+    tops = mask.argmax(axis=0)[cols]
+    bots = mask.shape[0] - 1 - mask[::-1].argmax(axis=0)[cols]
+    return cols, tops, bots
+
+
+def _assign_segments(cols, seg_w):
+    """Sequential segment ids for an ascending column list.
+
+    Replicates two reference quirks (utils.py:231-243): a column advances
+    the open segment by at most ONE even if its x lands further right, and
+    advancing past a segment that collected no columns aborts the whole
+    polygon (returns ``None``).
+    """
+    seg = np.zeros(cols.size, dtype=np.int64)
+    open_seg = 0
+    collected = 0
+    for j, x in enumerate(cols):
+        if (open_seg + 1) * seg_w <= x and open_seg <= _TOT_SEG:
+            if collected == 0:
+                return None, open_seg
+            open_seg += 1
+            collected = 0
+        seg[j] = open_seg
+        collected += 1
+    return seg, open_seg
+
+
+def _section_means(seg, cols, centers, last_seg):
+    """Per-segment (mean x, mean cy), replicating the reference's
+    close-on-advance bookkeeping: segments closed by an advance are
+    averaged; the trailing segment stays a RAW SUM unless it is the final
+    index, and slot -1 is divided regardless (utils.py:257-259 quirk)."""
+    sums = np.zeros((_TOT_SEG, 2))
+    sums[:, 0] = np.bincount(seg, weights=cols, minlength=_TOT_SEG)
+    sums[:, 1] = np.bincount(seg, weights=centers, minlength=_TOT_SEG)
+    cnt = np.bincount(seg, minlength=_TOT_SEG).astype(np.float64)
+
+    sec = sums.copy()
+    closed = np.arange(_TOT_SEG) < last_seg
+    sec[closed] = sums[closed] / cnt[closed, None]
+    tail_cnt = cnt[last_seg]
+    if last_seg == _TOT_SEG - 1:
+        sec[last_seg] = sums[last_seg] / tail_cnt
+    else:
+        # reference divides cp_section[-1] (all-zero here) by the tail count
+        sec[-1] = sums[-1] / tail_cnt
+    return sec
+
+
+def _rail_clear(mask, rail):
+    """True when the 1-px segment ``rail = [x0, y0, x1, y1]`` crosses no
+    labeled pixel.  Samples the same integer raster a thickness-1 line draw
+    would touch instead of allocating a canvas per probe."""
+    h, w = mask.shape
+    x0, y0, x1, y1 = (int(v) for v in rail)
+    n = max(abs(x1 - x0), abs(y1 - y0), 1)
+    xs = np.rint(np.linspace(x0, x1, n + 1)).astype(int)
+    ys = np.rint(np.linspace(y0, y1, n + 1)).astype(int)
+    inside = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+    return not mask[ys[inside], xs[inside]].any()
+
+
+def _expand_rail(mask, base, grad, sign, half_h):
+    """Slide an end rail outward along ``grad`` until it clears the
+    component (or the ladder runs out, in which case the widest candidate
+    is accepted — reference behavior at utils.py:294/302)."""
+    base = np.asarray(base, dtype=np.float64)
+    for r in np.arange(0.5, _MAX_R, _STEP_R):
+        dx = 2 * half_h * r
+        cand = base + sign * np.array([dx, grad * dx, dx, grad * dx])
+        if _rail_clear(mask, cand) or r + 2 * _STEP_R >= _MAX_R:
+            return cand
+    return None
+
+
+def _refine_one(box, labels, label_id):
+    """Polygon for one detected box, or None when refinement bails."""
+    w = int(np.linalg.norm(box[0] - box[1]) + 1)
+    h = int(np.linalg.norm(box[1] - box[2]) + 1)
+    if w < 10 or h < 10:
+        return None
+
+    # rectify the label map into the box frame
+    frame = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float32)
+    m = perspective_transform(box, frame)
+    try:
+        minv = np.linalg.inv(m)
+    except np.linalg.LinAlgError:
+        return None
+    mask = warp_perspective(labels, m, (w, h), interpolation="nearest") == label_id
+
+    cols, tops, bots = _column_profile(mask)
+    if cols.size == 0:
+        return None
+    heights = bots - tops + 1
+    if h * _MAX_LEN_RATIO < heights.max():
+        return None
+    centers = (tops + bots) * 0.5
+
+    seg_w = w / _TOT_SEG
+    seg, last_seg = _assign_segments(cols, seg_w)
+    if seg is None or last_seg < _TOT_SEG - 2:
+        # aborted, or some odd segment never collected a column -> no pivot
+        return None
+    sec = _section_means(seg, cols, centers, last_seg)
+
+    # one pivot per odd segment: the first column achieving that segment's
+    # max height (running-max selection in the reference, utils.py:252-255)
+    piv_x = np.empty(_NUM_PIVOTS)
+    piv_cy = np.empty(_NUM_PIVOTS)
+    piv_h = np.empty(_NUM_PIVOTS, dtype=np.int64)
+    for i in range(_NUM_PIVOTS):
+        members = np.flatnonzero(seg == 2 * i + 1)
+        if members.size == 0:
+            return None
+        best = members[np.argmax(heights[members])]
+        piv_x[i] = cols[best]
+        piv_cy[i] = centers[best]
+        piv_h[i] = heights[best]
+
+    if seg_w < np.max(piv_h) * 0.25:
+        return None
+    half_h = np.median(piv_h) * _EXPAND_RATIO / 2
+
+    # tilt each pivot into a vertical rail along the local section gradient
+    rails = []
+    for i in range(_NUM_PIVOTS):
+        dx = sec[2 * i + 2][0] - sec[2 * i][0]
+        dy = sec[2 * i + 2][1] - sec[2 * i][1]
+        x, cy = piv_x[i], piv_cy[i]
+        if dx == 0:
+            rails.append([x, cy - half_h, x, cy + half_h])
+        else:
+            ang = -math.atan2(dy, dx)
+            run, rise = half_h * math.cos(ang), half_h * math.sin(ang)
+            rails.append([x - rise, cy - run, x + rise, cy + run])
+
+    # extrapolate the boundary slope from the three outermost pivots on
+    # each side, then push the end rails out until they clear the mask
+    slope_s = (piv_cy[1] - piv_cy[0]) / (piv_x[1] - piv_x[0]) \
+        + (piv_cy[2] - piv_cy[1]) / (piv_x[2] - piv_x[1])
+    slope_e = (piv_cy[-2] - piv_cy[-1]) / (piv_x[-2] - piv_x[-1]) \
+        + (piv_cy[-3] - piv_cy[-2]) / (piv_x[-3] - piv_x[-2])
+    head = _expand_rail(mask, rails[0], slope_s, -1.0, half_h)
+    tail = _expand_rail(mask, rails[-1], slope_e, +1.0, half_h)
+    if head is None or tail is None:
+        return None
+
+    # walk the top edge left->right, then the bottom edge right->left
+    ring = [(head[0], head[1])]
+    ring += [(r[0], r[1]) for r in rails]
+    ring += [(tail[0], tail[1]), (tail[2], tail[3])]
+    ring += [(r[2], r[3]) for r in reversed(rails)]
+    ring.append((head[2], head[3]))
+    return np.array([warp_coord(minv, pt) for pt in ring])
+
+
 def get_poly_core(boxes, labels, mapper, linkmap):
-    """Polygon refinement around each detected box (utils.py:178-326)."""
-    num_cp = 5
-    max_len_ratio = 0.7
-    expand_ratio = 1.45
-    max_r = 2.0
-    step_r = 0.2
-
-    polys = []
-    for k, box in enumerate(boxes):
-        w = int(np.linalg.norm(box[0] - box[1]) + 1)
-        h = int(np.linalg.norm(box[1] - box[2]) + 1)
-        if w < 10 or h < 10:
-            polys.append(None)
-            continue
-
-        tar = np.array([[0, 0], [w, 0], [w, h], [0, h]], dtype=np.float32)
-        m = perspective_transform(box, tar)
-        word_label = warp_perspective(labels, m, (w, h), interpolation="nearest")
-        try:
-            minv = np.linalg.inv(m)
-        except np.linalg.LinAlgError:
-            polys.append(None)
-            continue
-
-        cur_label = mapper[k]
-        word_label = (word_label == cur_label).astype(np.int32)
-
-        # column scan: top/bottom extent per column
-        cp = []
-        max_len = -1
-        for i in range(w):
-            region = np.where(word_label[:, i] != 0)[0]
-            if len(region) < 2:
-                continue
-            cp.append((i, region[0], region[-1]))
-            max_len = max(max_len, region[-1] - region[0] + 1)
-
-        if h * max_len_ratio < max_len:
-            polys.append(None)
-            continue
-
-        # pivot points at fixed segments
-        tot_seg = num_cp * 2 + 1
-        seg_w = w / tot_seg
-        pp = [None] * num_cp
-        cp_section = [[0, 0]] * tot_seg
-        seg_height = [0] * num_cp
-        seg_num = 0
-        num_sec = 0
-        prev_h = -1
-        for i in range(len(cp)):
-            (x, sy, ey) = cp[i]
-            if (seg_num + 1) * seg_w <= x and seg_num <= tot_seg:
-                if num_sec == 0:
-                    break
-                cp_section[seg_num] = [cp_section[seg_num][0] / num_sec,
-                                       cp_section[seg_num][1] / num_sec]
-                num_sec = 0
-                seg_num += 1
-                prev_h = -1
-
-            cy = (sy + ey) * 0.5
-            cur_h = ey - sy + 1
-            cp_section[seg_num] = [cp_section[seg_num][0] + x, cp_section[seg_num][1] + cy]
-            num_sec += 1
-
-            if seg_num % 2 == 0:
-                continue
-            if prev_h < cur_h:
-                pp[int((seg_num - 1) / 2)] = (x, cy)
-                seg_height[int((seg_num - 1) / 2)] = cur_h
-                prev_h = cur_h
-
-        if num_sec != 0:
-            cp_section[-1] = [cp_section[-1][0] / num_sec, cp_section[-1][1] / num_sec]
-
-        if None in pp or seg_w < np.max(seg_height) * 0.25:
-            polys.append(None)
-            continue
-
-        half_char_h = np.median(seg_height) * expand_ratio / 2
-
-        # tilt each pivot by the local gradient
-        new_pp = []
-        for i, (x, cy) in enumerate(pp):
-            dx = cp_section[i * 2 + 2][0] - cp_section[i * 2][0]
-            dy = cp_section[i * 2 + 2][1] - cp_section[i * 2][1]
-            if dx == 0:
-                new_pp.append([x, cy - half_char_h, x, cy + half_char_h])
-                continue
-            rad = -math.atan2(dy, dx)
-            c, s = half_char_h * math.cos(rad), half_char_h * math.sin(rad)
-            new_pp.append([x - s, cy - c, x + s, cy + c])
-
-        # expand start/end edges until they clear the heatmap
-        is_spp_found, is_epp_found = False, False
-        grad_s = (pp[1][1] - pp[0][1]) / (pp[1][0] - pp[0][0]) + \
-                 (pp[2][1] - pp[1][1]) / (pp[2][0] - pp[1][0])
-        grad_e = (pp[-2][1] - pp[-1][1]) / (pp[-2][0] - pp[-1][0]) + \
-                 (pp[-3][1] - pp[-2][1]) / (pp[-3][0] - pp[-2][0])
-        spp = epp = None
-        for r in np.arange(0.5, max_r, step_r):
-            dx = 2 * half_char_h * r
-            if not is_spp_found:
-                line_img = np.zeros(word_label.shape, dtype=np.uint8)
-                dy = grad_s * dx
-                p = np.array(new_pp[0]) - np.array([dx, dy, dx, dy])
-                _draw_line(line_img, (p[0], p[1]), (p[2], p[3]))
-                if np.sum(np.logical_and(word_label, line_img)) == 0 or r + 2 * step_r >= max_r:
-                    spp = p
-                    is_spp_found = True
-            if not is_epp_found:
-                line_img = np.zeros(word_label.shape, dtype=np.uint8)
-                dy = grad_e * dx
-                p = np.array(new_pp[-1]) + np.array([dx, dy, dx, dy])
-                _draw_line(line_img, (p[0], p[1]), (p[2], p[3]))
-                if np.sum(np.logical_and(word_label, line_img)) == 0 or r + 2 * step_r >= max_r:
-                    epp = p
-                    is_epp_found = True
-            if is_spp_found and is_epp_found:
-                break
-
-        if not (is_spp_found and is_epp_found):
-            polys.append(None)
-            continue
-
-        poly = [warp_coord(minv, (spp[0], spp[1]))]
-        for p in new_pp:
-            poly.append(warp_coord(minv, (p[0], p[1])))
-        poly.append(warp_coord(minv, (epp[0], epp[1])))
-        poly.append(warp_coord(minv, (epp[2], epp[3])))
-        for p in reversed(new_pp):
-            poly.append(warp_coord(minv, (p[2], p[3])))
-        poly.append(warp_coord(minv, (spp[2], spp[3])))
-        polys.append(np.array(poly))
-
-    return polys
+    """Polygon refinement around each detected box (behavioral parity with
+    utils.py:178-326; vectorized column/segment analysis, see helpers)."""
+    return [_refine_one(np.asarray(box), labels, mapper[k])
+            for k, box in enumerate(boxes)]
 
 
 def get_det_boxes(textmap, linkmap, text_threshold, link_threshold, low_text,

@@ -94,21 +94,24 @@ def craft_apply(params, x):
     return y, feature
 
 
-def init_craft(rng):
-    """Random CRAFT params (full production shapes)."""
+def init_craft(rng, base: int = 64):
+    """Random CRAFT params.  ``base=64`` is production shape; smaller bases
+    scale every channel width proportionally (for dryruns/tests)."""
     import jax
 
     from ocrfa_tpu.models.layers import init_bn, init_conv
 
+    b = base
     keys = iter(jax.random.split(rng, 40))
-    chans = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
-             (256, 256), (256, 512), (512, 512), (512, 512), (512, 512), (512, 512)]
+    chans = [(3, b), (b, b), (b, 2 * b), (2 * b, 2 * b), (2 * b, 4 * b),
+             (4 * b, 4 * b), (4 * b, 4 * b), (4 * b, 8 * b), (8 * b, 8 * b),
+             (8 * b, 8 * b), (8 * b, 8 * b), (8 * b, 8 * b)]
     vgg = {}
     for i, (cin, cout) in enumerate(chans):
         vgg[f"conv{i}"] = init_conv(next(keys), 3, 3, cin, cout, bias=True)
         vgg[f"bn{i}"] = init_bn(cout)
-    vgg["fc6"] = init_conv(next(keys), 3, 3, 512, 1024, bias=True)
-    vgg["fc7"] = init_conv(next(keys), 1, 1, 1024, 1024, bias=True)
+    vgg["fc6"] = init_conv(next(keys), 3, 3, 8 * b, 16 * b, bias=True)
+    vgg["fc7"] = init_conv(next(keys), 1, 1, 16 * b, 16 * b, bias=True)
 
     def dc(cin, mid, cout):
         return {
@@ -120,15 +123,15 @@ def init_craft(rng):
 
     return {
         "vgg": vgg,
-        "upconv1": dc(1024, 512, 256),
-        "upconv2": dc(512, 256, 128),
-        "upconv3": dc(256, 128, 64),
-        "upconv4": dc(128, 64, 32),
+        "upconv1": dc(16 * b, 8 * b, 4 * b),
+        "upconv2": dc(8 * b, 4 * b, 2 * b),
+        "upconv3": dc(4 * b, 2 * b, b),
+        "upconv4": dc(2 * b, b, b // 2),
         "conv_cls": [
-            init_conv(next(keys), 3, 3, 32, 32, bias=True),
-            init_conv(next(keys), 3, 3, 32, 32, bias=True),
-            init_conv(next(keys), 3, 3, 32, 16, bias=True),
-            init_conv(next(keys), 1, 1, 16, 16, bias=True),
-            init_conv(next(keys), 1, 1, 16, 2, bias=True),
+            init_conv(next(keys), 3, 3, b // 2, b // 2, bias=True),
+            init_conv(next(keys), 3, 3, b // 2, b // 2, bias=True),
+            init_conv(next(keys), 3, 3, b // 2, b // 4, bias=True),
+            init_conv(next(keys), 1, 1, b // 4, b // 4, bias=True),
+            init_conv(next(keys), 1, 1, b // 4, 2, bias=True),
         ],
     }

@@ -35,10 +35,15 @@ def replicate(pytree, mesh: Mesh):
 def shard_batch(x, mesh: Mesh, axis: str = DATA_AXIS):
     """Shard an array's leading (batch) dim across the mesh.
 
-    Falls back to replication when the batch is not divisible by the mesh
-    size (tiny batches aren't worth a collective anyway).
+    When the batch is not divisible by the mesh size it is padded up to the
+    next multiple by repeating the final row, so every batch gets real
+    data parallelism (real pages produce arbitrary box counts).  The result
+    may therefore have a *larger* leading dim than the input; callers that
+    track the true count slice outputs back to it.
     """
     n = mesh.shape[axis]
-    if x.shape[0] % n != 0:
-        return jax.device_put(x, NamedSharding(mesh, P()))
+    rem = x.shape[0] % n
+    if rem:
+        pad = np.repeat(np.asarray(x[-1:]), n - rem, axis=0)
+        x = np.concatenate([np.asarray(x), pad], axis=0)
     return jax.device_put(x, NamedSharding(mesh, P(axis)))

@@ -110,13 +110,14 @@ class Recognizer:
 
     def logits(self, batch: np.ndarray) -> jax.Array:
         """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""
+        n = batch.shape[0]
         x = jnp.asarray(batch, self.compute_dtype)
         if self.mesh is not None:
             from ocrfa_tpu.parallel.mesh import shard_batch
 
             x = shard_batch(x, self.mesh)
         out = self._apply(self.params, x)
-        return out.astype(jnp.float32)
+        return out[:n].astype(jnp.float32)
 
     def predict_async(self, batch: np.ndarray, keep_mask: np.ndarray):
         """Dispatch the fused greedy pass without blocking.

@@ -167,3 +167,111 @@ class TestCanvasBucketing:
         assert isinstance(out, list) and len(out) == 1
         for box in out[0]:
             assert box.dtype == np.int32 and box.size == 8
+
+
+class TestGetPolyCoreGolden:
+    """Golden vs the REFERENCE get_poly_core, with cv2 shimmed onto our own
+    geometric primitives (homography warp + 1px line raster).  This checks
+    every piece of refinement logic AROUND the cv2 calls — column scan,
+    segment machine, pivot selection, gradients, rail expansion, assembly —
+    is behaviorally identical; the primitives themselves are approximate
+    relative to real cv2 (PARITY.md notes)."""
+
+    @staticmethod
+    def _shim_cv2():
+        import sys
+
+        from ocrfa_tpu.geometry.transform import (
+            perspective_transform,
+            warp_perspective,
+        )
+
+        cv2 = sys.modules["cv2"]  # conftest's empty stub module
+        cv2.INTER_NEAREST = 0
+
+        def getPerspectiveTransform(src, dst):
+            return perspective_transform(src, dst)
+
+        def warpPerspective(src, m, size, flags=None):
+            interp = "nearest" if flags == cv2.INTER_NEAREST else "bilinear"
+            return warp_perspective(src, m, size, interpolation=interp)
+
+        def line(canvas, p0, p1, color, thickness=1):
+            h, w = canvas.shape
+            x0, y0 = int(p0[0]), int(p0[1])
+            x1, y1 = int(p1[0]), int(p1[1])
+            n = max(abs(x1 - x0), abs(y1 - y0), 1)
+            xs = np.rint(np.linspace(x0, x1, n + 1)).astype(int)
+            ys = np.rint(np.linspace(y0, y1, n + 1)).astype(int)
+            ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
+            canvas[ys[ok], xs[ok]] = color
+            return canvas
+
+        cv2.getPerspectiveTransform = getPerspectiveTransform
+        cv2.warpPerspective = warpPerspective
+        cv2.line = line
+
+    @staticmethod
+    def _curved_scene(seed, shape=(140, 380)):
+        """Curved bands labeled 1..n plus hand-built enclosing quads.
+
+        Hand-built boxes (rather than min-area rects) guarantee the long
+        edge is the first edge so refinement has room to work; the curvature
+        exceeds the band thickness so the reference's ``h*0.7 < max_len``
+        gate passes.
+        """
+        rng = np.random.default_rng(seed)
+        labels = np.zeros(shape, dtype=np.int32)
+        boxes, mapper = [], []
+        lanes = [(10, 60), (75, 130)]
+        for lane_id, (lane_lo, lane_hi) in enumerate(lanes[: rng.integers(1, 3)]):
+            x0 = int(rng.integers(5, 60))
+            width = int(rng.integers(180, 290))
+            half = int(rng.integers(4, 8))
+            amp = float(rng.uniform(1.0, 2.2) * half)
+            y_mid = (lane_lo + lane_hi) // 2
+            freq = rng.uniform(0.5, 2.0) * np.pi / width
+            phase = rng.uniform(0, np.pi)
+            x1 = min(x0 + width, shape[1] - 4)
+            for x in range(x0, x1):
+                yc = int(y_mid + amp * np.sin(freq * (x - x0) + phase))
+                labels[max(lane_lo, yc - half):min(lane_hi, yc + half), x] = lane_id + 1
+            pad = 2
+            y_lo = max(0, int(y_mid - amp - half) - pad)
+            y_hi = min(shape[0] - 1, int(y_mid + amp + half) + pad)
+            boxes.append(np.array(
+                [[x0 - pad, y_lo], [x1 + pad, y_lo],
+                 [x1 + pad, y_hi], [x0 - pad, y_hi]], dtype=np.float32))
+            mapper.append(lane_id + 1)
+        return boxes, labels, mapper
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_matches_reference(self, ref_utils, seed):
+        from ocrfa_tpu.geometry.craft_post import get_poly_core
+
+        self._shim_cv2()
+        boxes, labels, mapper = self._curved_scene(seed)
+        link = np.zeros(labels.shape, dtype=np.float32)
+
+        ours = get_poly_core(boxes, labels, mapper, link)
+        theirs = ref_utils.get_poly_core(boxes, labels.copy(), mapper, link)
+        assert len(ours) == len(theirs)
+        for a, b in zip(ours, theirs):
+            if b is None:
+                assert a is None
+            else:
+                np.testing.assert_allclose(a, b)
+
+    def test_yield_is_nonvacuous(self, ref_utils):
+        """At least some seeds must produce real polygons, or the golden
+        comparison above proves nothing."""
+        from ocrfa_tpu.geometry.craft_post import get_poly_core
+
+        produced = 0
+        for seed in range(10):
+            boxes, labels, mapper = self._curved_scene(seed)
+            link = np.zeros(labels.shape, dtype=np.float32)
+            produced += sum(
+                p is not None for p in get_poly_core(boxes, labels, mapper, link)
+            )
+        assert produced >= 3, f"only {produced} non-None polygons over 10 seeds"

@@ -25,13 +25,37 @@ class TestMesh:
         xs = shard_batch(x, mesh)
         assert not xs.sharding.is_fully_replicated
 
-    def test_shard_batch_indivisible_replicates(self):
+    def test_shard_batch_indivisible_pads_and_shards(self):
         from ocrfa_tpu.parallel.mesh import create_mesh, shard_batch
 
         mesh = create_mesh()
-        x = np.zeros((3, 4), dtype=np.float32)
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)
         xs = shard_batch(x, mesh)
-        assert xs.sharding.is_fully_replicated
+        assert not xs.sharding.is_fully_replicated
+        assert xs.shape[0] == 8  # padded to the device-count multiple
+        np.testing.assert_array_equal(np.asarray(xs)[:3], x)
+        # pad rows replicate the final row
+        np.testing.assert_array_equal(np.asarray(xs)[3:], np.repeat(x[-1:], 5, 0))
+
+    def test_sharded_predict_indivisible_batch(self):
+        """Batch sizes off the device-count multiple still shard + match."""
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.parallel.mesh import create_mesh
+        from ocrfa_tpu.pipeline import Recognizer
+
+        conv = CTCLabelConverter("ابتث")
+        params = init_crnn_gen1(jax.random.PRNGKey(1), num_class=conv.num_classes,
+                                output_channel=64, hidden_size=64)
+        keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        rng = np.random.default_rng(1)
+        batch = rng.integers(0, 255, (3, 64, 64, 1)).astype(np.uint8)
+
+        single = Recognizer(params, conv).predict(batch, keep)
+        sharded = Recognizer(params, conv, mesh=create_mesh()).predict(batch, keep)
+        assert len(sharded) == 3
+        assert [r[0] for r in single] == [r[0] for r in sharded]
 
 
 class TestShardedRecognition:
