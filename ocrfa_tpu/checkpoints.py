@@ -115,6 +115,62 @@ def convert_crnn_gen1(sd: dict) -> dict:
     }
 
 
+def export_crnn_gen1(params) -> dict:
+    """crnn gen1 params pytree -> reference-keyed torch-layout state dict.
+
+    Exact inverse of :func:`convert_crnn_gen1` (conv HWIO -> OIHW; linear
+    and LSTM tensors already share torch layout).  Lets models trained in
+    this framework run inside the reference torch pipeline — used by the
+    cross-framework eval harness (``scripts/eval_farsi.py``).
+    """
+    sd = {}
+
+    def put_conv(prefix, p):
+        sd[prefix + ".weight"] = np.transpose(_to_numpy(p["w"]), (3, 2, 0, 1))
+        if "b" in p:
+            sd[prefix + ".bias"] = _to_numpy(p["b"])
+
+    def put_bn(prefix, p):
+        sd[prefix + ".weight"] = _to_numpy(p["scale"])
+        sd[prefix + ".bias"] = _to_numpy(p["bias"])
+        sd[prefix + ".running_mean"] = _to_numpy(p["mean"])
+        sd[prefix + ".running_var"] = _to_numpy(p["var"])
+        sd[prefix + ".num_batches_tracked"] = np.array(0, dtype=np.int64)
+
+    def put_bilstm(prefix, p):
+        for ours, theirs in (
+            ("w_ih", "rnn.weight_ih_l0"), ("w_hh", "rnn.weight_hh_l0"),
+            ("b_ih", "rnn.bias_ih_l0"), ("b_hh", "rnn.bias_hh_l0"),
+            ("w_ih_rev", "rnn.weight_ih_l0_reverse"),
+            ("w_hh_rev", "rnn.weight_hh_l0_reverse"),
+            ("b_ih_rev", "rnn.bias_ih_l0_reverse"),
+            ("b_hh_rev", "rnn.bias_hh_l0_reverse"),
+            ("linear_w", "linear.weight"), ("linear_b", "linear.bias"),
+        ):
+            sd[f"{prefix}.{theirs}"] = _to_numpy(p[ours])
+
+    f = "FeatureExtraction.ConvNet"
+    feat = params["feat"]
+    for name in ("conv0_1", "conv0_2", "conv1", "conv2", "conv3",
+                 "conv4_1", "conv4_2"):
+        put_conv(f"{f}.{name}", feat[name])
+        put_bn(f"{f}.bn{name[4:]}", feat["bn" + name[4:]])
+    for lname in ("layer1", "layer2", "layer3", "layer4"):
+        for i, bp in enumerate(feat[lname]):
+            put_conv(f"{f}.{lname}.{i}.conv1", bp["conv1"])
+            put_bn(f"{f}.{lname}.{i}.bn1", bp["bn1"])
+            put_conv(f"{f}.{lname}.{i}.conv2", bp["conv2"])
+            put_bn(f"{f}.{lname}.{i}.bn2", bp["bn2"])
+            if "downsample" in bp:
+                put_conv(f"{f}.{lname}.{i}.downsample.0", bp["downsample"]["conv"])
+                put_bn(f"{f}.{lname}.{i}.downsample.1", bp["downsample"]["bn"])
+    put_bilstm("SequenceModeling.0", params["seq0"])
+    put_bilstm("SequenceModeling.1", params["seq1"])
+    sd["Prediction.weight"] = _to_numpy(params["pred"]["w"])
+    sd["Prediction.bias"] = _to_numpy(params["pred"]["b"])
+    return sd
+
+
 def convert_crnn_gen2(sd: dict) -> dict:
     """Reference gen2 ``VGGModel`` state dict -> crnn params pytree.
 

@@ -201,7 +201,9 @@ def polygon_mean(hmap: np.ndarray, box: np.ndarray) -> float:
     ymax = np.clip(np.ceil(box[:, 1].max()).astype(np.int32), 0, h - 1)
     box[:, 0] -= xmin
     box[:, 1] -= ymin
-    mask = fill_poly((ymax - ymin + 1, xmax - xmin + 1), box)
+    # the reference truncates vertices to int32 before filling
+    # (DBNet.py:371 ``astype(np.int32)``); match that
+    mask = fill_poly((ymax - ymin + 1, xmax - xmin + 1), box.astype(np.int32))
     if mask.sum() == 0:
         return 0.0
     region = hmap[ymin:ymax + 1, xmin:xmax + 1]
@@ -216,18 +218,24 @@ def polygon_area(points) -> float:
 
 def unclip(box: np.ndarray, unclip_ratio: float = 1.5) -> np.ndarray:
     """Outward polygon offset by ``d = area * ratio / perimeter`` with round
-    joins (pyclipper JT_ROUND equivalent, DBNet.py:326-333).
-
-    Raster formulation: threshold the EDT of the filled polygon's
-    complement at ``d`` and trace the boundary of the result.
-    """
+    joins (pyclipper JT_ROUND equivalent, DBNet.py:326-333)."""
     box = np.asarray(box, dtype=np.float64)
     area = polygon_area(box)
     length = arc_length(box, closed=True)
     if length == 0:
         return box[None].astype(np.int64)
-    distance = area * unclip_ratio / length
+    return offset_polygon(box, area * unclip_ratio / length)
 
+
+def offset_polygon(box: np.ndarray, distance: float) -> np.ndarray:
+    """Round-join outward offset of a polygon by ``distance`` pixels.
+
+    Raster formulation: threshold the EDT of the filled polygon's
+    complement at ``distance`` and trace the boundary of the result.
+    Returns (1, P, 2) int coordinates, or an object array when the offset
+    region splits (degenerate inputs).
+    """
+    box = np.asarray(box, dtype=np.float64)
     pad = int(np.ceil(distance)) + 2
     xmin, ymin = np.floor(box.min(axis=0)).astype(int) - pad
     xmax, ymax = np.ceil(box.max(axis=0)).astype(int) + pad

@@ -1,14 +1,18 @@
-"""MobileNetV3-Large backbone for DBNet (4-level pyramid).
+"""MobileNetV3 backbones for DBNet (4-level pyramid), large and small.
 
 Rebuild of the reference's registered-but-unconfigured backbone
 (``/root/reference/src/ocrfa/DBNet/backbones/mobilenetv3.py``): stem
-conv-BN-hswish (s2), 15 MobileBottleneck blocks (pw-expand -> depthwise ->
+conv-BN-hswish (s2), MobileBottleneck blocks (pw-expand -> depthwise ->
 optional SE -> pw-linear, residual when stride 1 and channels match), final
-1x1 conv-BN-hswish; pyramid taps after stages 3/6/12/16 (mobilenetv3.py:
-204-220) giving channels (24, 40, 112, 960) at strides /4 /8 /16 /32.
+1x1 conv-BN-hswish.
 
-The reference's 'small' mode forward indexes past its own feature list
-(range(17) over 13 entries) and is unreachable; only 'large' is built here.
+* **large**: 15 blocks (Table 1, mobilenetv3.py:126-143); pyramid taps at
+  features 3/6/12/16 (:204-220) -> channels (24, 40, 112, 960) at strides
+  /4 /8 /16 /32.
+* **small**: 11 blocks (Table 2, :146-157).  The reference's small forward
+  indexes past its own 16-entry feature list (``range(17)``, :210) and
+  crashes; this rebuild fixes it with the analogous taps — the last block
+  of each resolution plus the final 1x1 conv -> channels (16, 24, 48, 576).
 """
 
 from __future__ import annotations
@@ -18,27 +22,48 @@ import jax.numpy as jnp
 
 from ocrfa_tpu.models.layers import batch_norm, conv2d, init_bn, init_conv, relu
 
-# k, exp, c, se, nl, s  (Table 1, mobilenetv3.py:126-143)
-_LARGE = [
-    (3, 16, 16, False, "RE", 1),
-    (3, 64, 24, False, "RE", 2),
-    (3, 72, 24, False, "RE", 1),    # tap x2 (/4)
-    (5, 72, 40, True, "RE", 2),
-    (5, 120, 40, True, "RE", 1),
-    (5, 120, 40, True, "RE", 1),    # tap x3 (/8)
-    (3, 240, 80, False, "HS", 2),
-    (3, 200, 80, False, "HS", 1),
-    (3, 184, 80, False, "HS", 1),
-    (3, 184, 80, False, "HS", 1),
-    (3, 480, 112, True, "HS", 1),
-    (3, 672, 112, True, "HS", 1),   # tap x4 (/16)
-    (5, 672, 160, True, "HS", 2),
-    (5, 960, 160, True, "HS", 1),
-    (5, 960, 160, True, "HS", 1),
-]
-_TAPS = {3, 6, 12}  # block indices (1-based over features list) before last conv
+# k, exp, c, se, nl, s  (Table 1 / Table 2, mobilenetv3.py:126-157)
+_SETTINGS = {
+    "large": [
+        (3, 16, 16, False, "RE", 1),
+        (3, 64, 24, False, "RE", 2),
+        (3, 72, 24, False, "RE", 1),    # tap x2 (/4)
+        (5, 72, 40, True, "RE", 2),
+        (5, 120, 40, True, "RE", 1),
+        (5, 120, 40, True, "RE", 1),    # tap x3 (/8)
+        (3, 240, 80, False, "HS", 2),
+        (3, 200, 80, False, "HS", 1),
+        (3, 184, 80, False, "HS", 1),
+        (3, 184, 80, False, "HS", 1),
+        (3, 480, 112, True, "HS", 1),
+        (3, 672, 112, True, "HS", 1),   # tap x4 (/16)
+        (5, 672, 160, True, "HS", 2),
+        (5, 960, 160, True, "HS", 1),
+        (5, 960, 160, True, "HS", 1),
+    ],
+    "small": [
+        (3, 16, 16, True, "RE", 2),     # tap x2 (/4)
+        (3, 72, 24, False, "RE", 2),
+        (3, 88, 24, False, "RE", 1),    # tap x3 (/8)
+        (5, 96, 40, True, "HS", 2),
+        (5, 240, 40, True, "HS", 1),
+        (5, 240, 40, True, "HS", 1),
+        (5, 120, 48, True, "HS", 1),
+        (5, 144, 48, True, "HS", 1),    # tap x4 (/16)
+        (5, 288, 96, True, "HS", 2),
+        (5, 576, 96, True, "HS", 1),
+        (5, 576, 96, True, "HS", 1),
+    ],
+}
+# block indices (1-based over the features list) tapped before the last conv
+_TAPS = {"large": {3, 6, 12}, "small": {1, 3, 8}}
+_LAST_CONV = {"large": 960, "small": 576}
 
-PYRAMID_CHANNELS = (24, 40, 112, 960)
+PYRAMID_CHANNELS = (24, 40, 112, 960)  # large (back-compat export)
+PYRAMID_CHANNELS_BY_MODE = {
+    "large": (24, 40, 112, 960),
+    "small": (16, 24, 48, 576),
+}
 
 
 def hswish(x):
@@ -79,28 +104,30 @@ def _bottleneck(p, x, k, stride, se, nl):
     return y
 
 
-def mobilenetv3_backbone(p, x):
+def mobilenetv3_backbone(p, x, mode: str = "large"):
     """(N, H, W, 3) -> pyramid (x2 /4, x3 /8, x4 /16, x5 /32)."""
     x = hswish(batch_norm(conv2d(x, p["stem"]["w"], stride=2, padding=1), p["stem_bn"]))
     taps = []
-    for i, (blk, (k, _, _, se, nl, s)) in enumerate(zip(p["blocks"], _LARGE), start=1):
+    for i, (blk, (k, _, _, se, nl, s)) in enumerate(
+            zip(p["blocks"], _SETTINGS[mode]), start=1):
         x = _bottleneck(blk, x, k, s, se, nl)
-        if i in _TAPS:
+        if i in _TAPS[mode]:
             taps.append(x)
     x = hswish(batch_norm(conv2d(x, p["last"]["w"]), p["last_bn"]))
     taps.append(x)
     return tuple(taps)
 
 
-def init_mobilenetv3(rng):
-    keys = iter(jax.random.split(rng, 4 + 6 * len(_LARGE)))
+def init_mobilenetv3(rng, mode: str = "large"):
+    setting = _SETTINGS[mode]
+    keys = iter(jax.random.split(rng, 4 + 6 * len(setting)))
     p = {
         "stem": init_conv(next(keys), 3, 3, 3, 16),
         "stem_bn": init_bn(16),
         "blocks": [],
     }
     cin = 16
-    for k, exp, c, se, nl, s in _LARGE:
+    for k, exp, c, se, nl, s in setting:
         blk = {
             "pw": init_conv(next(keys), 1, 1, cin, exp),
             "pw_bn": init_bn(exp),
@@ -118,6 +145,6 @@ def init_mobilenetv3(rng):
             }
         p["blocks"].append(blk)
         cin = c
-    p["last"] = init_conv(next(keys), 1, 1, cin, 960)
-    p["last_bn"] = init_bn(960)
+    p["last"] = init_conv(next(keys), 1, 1, cin, _LAST_CONV[mode])
+    p["last_bn"] = init_bn(_LAST_CONV[mode])
     return p

@@ -42,19 +42,46 @@ class Recognizer:
     """Holds device-resident CRNN params and the per-bucket jit cache."""
 
     def __init__(self, params, converter, variant: str = "gen1",
-                 compute_dtype=jnp.float32, mesh=None, quantized: bool = False):
-        """``quantized=True`` runs the gen1 conv tower in dynamic int8
-        (the TPU equivalent of the reference's quantize_dynamic default,
-        utils.py:687-690; ~99.96% argmax-identical to bf16)."""
+                 compute_dtype=jnp.float32, mesh=None, quantized=False,
+                 calibration_batches=None):
+        """``quantized`` selects the conv-tower numerics for gen1:
+
+        * ``False`` — f32/bf16 per ``compute_dtype`` (bit-parity path);
+        * ``True`` / ``"dynamic"`` — dynamic int8, the TPU equivalent of the
+          reference's quantize_dynamic default (utils.py:687-690; ~99.96%
+          argmax-identical to bf16);
+        * ``"static"`` — calibrated static-scale int8 with folded BN (the
+          serving fast path; requires ``calibration_batches``: normalized
+          f32 crop batches representative of production input).
+        """
         self.converter = converter
         self.variant = variant
         self.mesh = mesh
-        self.quantized = quantized and variant == "gen1"
-        if self.quantized:
-            from ocrfa_tpu.models.quant import quantize_crnn_gen1
+        self.quantized = quantized if variant == "gen1" else False
+        if self.quantized == "static":
+            from ocrfa_tpu.models.quant import (
+                calibrate_crnn_gen1,
+                crnn_apply_int8_static,
+                quantize_crnn_gen1_static,
+            )
+
+            if not calibration_batches:
+                raise ValueError(
+                    "quantized='static' needs calibration_batches "
+                    "(normalized f32 crops, e.g. one representative batch)"
+                )
+            amax = calibrate_crnn_gen1(params, calibration_batches)
+            params = quantize_crnn_gen1_static(params, amax)
+            compute_dtype = jnp.float32  # quant path manages its own dtypes
+            model_fn = lambda p, v: crnn_apply_int8_static(p, v)
+        elif self.quantized:
+            from ocrfa_tpu.models.quant import crnn_apply_int8, quantize_crnn_gen1
 
             params = quantize_crnn_gen1(params)
-            compute_dtype = jnp.float32  # quant path manages its own dtypes
+            compute_dtype = jnp.float32
+            model_fn = lambda p, v: crnn_apply_int8(p, v)
+        else:
+            model_fn = partial(crnn_apply, variant=variant)
         self.compute_dtype = compute_dtype
         if compute_dtype != jnp.float32 and not self.quantized:
             params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
@@ -63,13 +90,6 @@ class Recognizer:
 
             params = replicate(params, mesh)
         self.params = jax.device_put(params)
-
-        if self.quantized:
-            from ocrfa_tpu.models.quant import crnn_apply_int8
-
-            model_fn = lambda p, v: crnn_apply_int8(p, v)
-        else:
-            model_fn = partial(crnn_apply, variant=variant)
         self._apply = jax.jit(model_fn)
 
         # fused fast path: one dispatch for on-device normalisation + forward
@@ -87,6 +107,17 @@ class Recognizer:
             return indices, ctc_confidences(indices, values)
 
         self._apply_greedy = jax.jit(_fused)
+
+        def _fused_ribbon(params, flat, meta, keep_mask, *, out_w):
+            from ocrfa_tpu.preproc.ribbon import ribbon_to_batch
+
+            crops, _ = ribbon_to_batch(flat, meta, out_w=out_w)
+            logits = model_fn(params, crops.astype(self.compute_dtype))
+            indices, values = postprocess_logits(logits.astype(jnp.float32),
+                                                 keep_mask)
+            return indices, ctc_confidences(indices, values)
+
+        self._apply_ribbon = jax.jit(_fused_ribbon, static_argnames=("out_w",))
 
         def _fused_probs(params, x, keep_mask):
             logits = model_fn(params, _norm(x)).astype(jnp.float32)
@@ -137,6 +168,31 @@ class Recognizer:
 
             x = shard_batch(x, self.mesh)
         indices, confs = self._apply_greedy(self.params, x, jnp.asarray(keep_mask))
+        return indices, confs, n
+
+    def predict_ribbon_async(self, crops, keep_mask, out_w: int, img_h: int = 64):
+        """Dispatch native-resolution crops through the ribbon wire format.
+
+        Crops cross the link as one packed uint8 byte ribbon (native size,
+        2-4x fewer bytes than padded batches); resize-to-bucket, forward and
+        CTC postprocess run as one device program.  Returns the same handle
+        shape as :meth:`predict_async`.
+        """
+        from ocrfa_tpu.preproc.ribbon import pack_crops
+
+        n = len(crops)
+        flat, meta = pack_crops(crops)
+        flat = jnp.asarray(flat)
+        meta_dev = jnp.asarray(meta)
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import replicate, shard_batch
+
+            flat = replicate(flat, self.mesh)
+            meta_dev = shard_batch(meta, self.mesh)
+        indices, confs = self._apply_ribbon(
+            self.params, flat, meta_dev, jnp.asarray(keep_mask),
+            out_w=int(out_w),
+        )
         return indices, confs, n
 
     def collect(self, handle):

@@ -1,0 +1,215 @@
+"""Cross-framework Farsi eval: train, export, and score BOTH pipelines.
+
+Replaces "parity on random noise" with parity on a *trained* model over a
+real Farsi eval set (BASELINE.md metric; zoo weights need network egress,
+so the model is trained here):
+
+1. render synthetic Farsi lines from fixed per-character glyphs (full
+   production ``arabic_g1`` charset, RTL layout);
+2. train the PRODUCTION-SCALE gen1 CRNN (512/512) on them with the CTC
+   trainer, then calibrate BN running stats for inference mode;
+3. export the trained weights to a reference-keyed torch state dict
+   (``checkpoints.export_crnn_gen1``) and run the REFERENCE pipeline
+   (``ocrfa.utils.get_text`` + the torch replica) over held-out eval lines;
+4. run this framework's parity path (``pipeline.get_text``) and the serving
+   fast path (ribbon wire + static-int8 tower) over the same lines;
+5. report CER/exact-match between frameworks and vs ground truth, plus
+   recognition latency percentiles.
+
+Usage:
+  python scripts/eval_farsi.py [--steps 600] [--eval-lines 256] [--small]
+  (--small: 64-channel model + tiny charset for CPU smoke runs)
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+import numpy as np
+
+
+def make_font(chars, rng, glyph_w, h=64):
+    """One fixed random glyph bitmap per character (dark on white)."""
+    return {c: 255 - (rng.random((h, glyph_w)) > 0.6).astype(np.uint8) * 255
+            for c in chars}
+
+
+def render_crop(text, font, glyph_w, h=64):
+    """Native-width u8 line crop; visual RTL (first char rightmost)."""
+    canvas = np.full((h, glyph_w * len(text)), 255, dtype=np.uint8)
+    for i, ch in enumerate(text):
+        col = (len(text) - 1 - i) * glyph_w
+        canvas[:, col:col + glyph_w] = font[ch]
+    return canvas
+
+
+def sample_texts(rng, charset, n, min_len=2, max_len=9):
+    return ["".join(rng.choice(list(charset), size=rng.integers(min_len, max_len + 1)))
+            for _ in range(n)]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--train-pool", type=int, default=20, help="distinct device-resident batches")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--eval-lines", type=int, default=256)
+    ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
+    ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    args = ap.parse_args()
+
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+    from ocrfa_tpu.decode.device import keep_mask_for
+    from ocrfa_tpu.eval import cer
+    from ocrfa_tpu.models.crnn import crnn_apply, init_crnn_gen1
+    from ocrfa_tpu.pipeline import Recognizer, get_text
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+    from ocrfa_tpu.train import calibrate_bn_stats, make_optimizer, make_train_step
+
+    glyph_w = 24
+    if args.small:
+        charset = "ابتثجچحخد"
+        oc = hs = 64
+    else:
+        charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+        oc = hs = 512
+    conv = CTCLabelConverter(charset)
+    rng = np.random.default_rng(0)
+    font = make_font(charset, rng, glyph_w)
+
+    # ---- train on device-resident batches (uploaded once) -----------------
+    width = glyph_w * 9 + 8  # widest training line + slack
+    width = -(-width // 64) * 64
+
+    def render_batch(texts):
+        n = len(texts)
+        images = np.full((n, 64, width, 1), 255, np.uint8)
+        max_len = max(len(t) for t in texts)
+        labels = np.zeros((n, max_len), np.int32)
+        lengths = np.zeros((n,), np.int32)
+        for i, t in enumerate(texts):
+            crop = render_crop(t, font, glyph_w)
+            images[i, :, :crop.shape[1], 0] = crop
+            ids = [conv.dict[c] for c in t]
+            labels[i, :len(ids)] = ids
+            lengths[i] = len(ids)
+        norm = ((images.astype(np.float32) / 255.0) - 0.5) / 0.5
+        return norm, labels, lengths
+
+    pool = [render_batch(sample_texts(rng, charset, args.batch))
+            for _ in range(args.train_pool)]
+    max_l = max(b[1].shape[1] for b in pool)
+    pool = [(jax.device_put(jnp.asarray(im)),
+             jax.device_put(jnp.asarray(np.pad(lb, ((0, 0), (0, max_l - lb.shape[1]))))),
+             jax.device_put(jnp.asarray(ln))) for im, lb, ln in pool]
+
+    params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                            output_channel=oc, hidden_size=hs)
+    opt = make_optimizer(1e-3)
+    state = opt.init(params)
+    step = make_train_step(opt)
+
+    t0 = time.time()
+    loss = float("nan")
+    for i in range(args.steps):
+        im, lb, ln = pool[i % len(pool)]
+        params, state, loss = step(params, state, im, lb, ln)
+        if i % 100 == 0:
+            print(f"step {i:4d}  loss {float(loss):8.4f}  ({time.time()-t0:.0f}s)",
+                  flush=True)
+    print(f"trained {args.steps} steps, final loss {float(loss):.4f}")
+
+    # inference-mode BN: write calibrated running stats
+    params = calibrate_bn_stats(
+        params, lambda p, b: crnn_apply(p, b), [np.asarray(b[0][:32]) for b in pool[:4]]
+    )
+
+    # ---- eval set (held out) ----------------------------------------------
+    eval_texts = sample_texts(rng, charset, args.eval_lines)
+    crops = [render_crop(t, font, glyph_w) for t in eval_texts]
+    image_list = []
+    y = 0
+    for crop in crops:
+        w = crop.shape[1]
+        image_list.append(([[0, y], [w, y], [w, y + 64], [0, y + 64]], crop))
+        y += 70
+    max_width = -(-max(c.shape[1] for c in crops) // 64) * 64
+
+    # ---- this framework: parity path --------------------------------------
+    recognizer = Recognizer(params, conv)
+    t0 = time.time()
+    ours = get_text(charset, 64, max_width, recognizer, image_list)
+    ours_texts = [t for _, t, _ in ours]
+    lat = []
+    for box_crop in image_list[:32]:
+        t1 = time.time()
+        get_text(charset, 64, max_width, recognizer, [box_crop])
+        lat.append((time.time() - t1) * 1000)
+    lat = np.array(lat)
+
+    # ---- serving fast path: ribbon wire + static int8 ---------------------
+    calib = pool[0][0][:64]
+    fast = Recognizer(params, conv, quantized="static",
+                      calibration_batches=[np.asarray(calib)])
+    keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+    fast_res = fast.collect(fast.predict_ribbon_async(crops, keep, out_w=max_width))
+    fast_texts = [t for t, _ in fast_res]
+
+    # ---- reference torch pipeline on the exported weights -----------------
+    import torch
+
+    from ocrfa_tpu.checkpoints import export_crnn_gen1
+    from ref_stubs import import_reference_utils
+    from torch_replicas import Gen1Model
+
+    ref_utils = import_reference_utils()
+    model = Gen1Model(num_class=conv.num_classes, output_channel=oc,
+                      hidden_size=hs).eval()
+    model.load_state_dict({k: torch.from_numpy(np.array(v))
+                           for k, v in export_crnn_gen1(params).items()},
+                          strict=True)
+    ref_converter = ref_utils.CTCLabelConverter(charset)
+    ref = ref_utils.get_text(
+        charset, 64, max_width, model, ref_converter, image_list,
+        ignore_char="", decoder="greedy", beamWidth=5, batch_size=32,
+        contrast_ths=0.1, adjust_contrast=0.5, workers=0, device="cpu",
+    )
+    ref_texts = [t for _, t, _ in ref]
+
+    # ---- metrics -----------------------------------------------------------
+    exact = float(np.mean([a == b for a, b in zip(ours_texts, ref_texts)]))
+    metrics = {
+        "eval_lines": len(eval_texts),
+        "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
+        "train_steps": args.steps,
+        "final_ctc_loss": round(float(loss), 4),
+        "exact_match_vs_reference": exact,
+        "cer_vs_reference": round(cer(ours_texts, ref_texts), 6),
+        "cer_ours_vs_truth": round(cer(ours_texts, eval_texts), 6),
+        "cer_reference_vs_truth": round(cer(ref_texts, eval_texts), 6),
+        "cer_serving_int8_vs_truth": round(cer(fast_texts, eval_texts), 6),
+        "cer_serving_int8_vs_reference": round(cer(fast_texts, ref_texts), 6),
+        "latency_ms_p50_single_line": round(float(np.percentile(lat, 50)), 2),
+        "latency_ms_p95_single_line": round(float(np.percentile(lat, 95)), 2),
+    }
+    print(json.dumps(metrics, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

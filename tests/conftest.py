@@ -9,7 +9,7 @@
 
 import os
 import sys
-import types
+
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -32,61 +32,13 @@ except Exception:
 
 import pytest  # noqa: E402
 
-
-def _install_reference_stubs():
-    """Stub binary modules the reference imports but never uses at import time."""
-    if "cv2" not in sys.modules:
-        cv2 = types.ModuleType("cv2")
-        # attributes referenced at call time only; tests exercising them
-        # must not hit the stub
-        sys.modules["cv2"] = cv2
-    if "skimage" not in sys.modules:
-        skimage = types.ModuleType("skimage")
-        skimage.io = types.ModuleType("skimage.io")
-        sys.modules["skimage"] = skimage
-        sys.modules["skimage.io"] = skimage.io
-    if "bidi" not in sys.modules:
-        bidi = types.ModuleType("bidi")
-        algorithm = types.ModuleType("bidi.algorithm")
-        algorithm.get_display = lambda s: s  # stub; never exercised in goldens
-        bidi.algorithm = algorithm
-        sys.modules["bidi"] = bidi
-        sys.modules["bidi.algorithm"] = algorithm
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__version__ = "0.0.0"
-        models = types.ModuleType("torchvision.models")
-        transforms = types.ModuleType("torchvision.transforms")
-
-        class _ToTensor:
-            def __call__(self, img):
-                import numpy as np
-                import torch
-
-                arr = np.asarray(img, dtype=np.float32) / 255.0
-                if arr.ndim == 2:
-                    arr = arr[None]
-                else:
-                    arr = arr.transpose(2, 0, 1)
-                return torch.from_numpy(arr)
-
-        transforms.ToTensor = _ToTensor
-        tv.models = models
-        tv.transforms = transforms
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.models"] = models
-        sys.modules["torchvision.transforms"] = transforms
+from tests.ref_stubs import import_reference_utils  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def ref_utils():
     """Import the reference ``ocrfa.utils`` module for golden comparisons."""
-    _install_reference_stubs()
-    ref_src = "/root/reference/src"
-    if not os.path.isdir(ref_src):
+    try:
+        return import_reference_utils()
+    except FileNotFoundError:
         pytest.skip("reference tree not available")
-    if ref_src not in sys.path:
-        sys.path.insert(0, ref_src)
-    import importlib
-
-    return importlib.import_module("ocrfa.utils")

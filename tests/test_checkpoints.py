@@ -34,3 +34,56 @@ class TestTorchLoad:
         sd = load_torch_state_dict(path)
         assert list(sd) == ["layer.weight"]
         assert sd["layer.weight"].shape == (2, 3)
+
+
+class TestExportGen1:
+    def test_roundtrip_and_torch_load(self):
+        """export -> torch replica strict load -> convert back == original."""
+        import jax
+        import numpy as np
+        import torch
+
+        from ocrfa_tpu.checkpoints import convert_crnn_gen1, export_crnn_gen1
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from torch_replicas import Gen1Model
+
+        params = init_crnn_gen1(jax.random.PRNGKey(3), num_class=11,
+                                output_channel=64, hidden_size=64)
+        sd = export_crnn_gen1(params)
+
+        model = Gen1Model(num_class=11, output_channel=64, hidden_size=64)
+        model.load_state_dict({k: torch.from_numpy(np.array(v))
+                               for k, v in sd.items()}, strict=True)
+
+        back = convert_crnn_gen1(sd)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back),
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_forward_matches_jax(self):
+        """The exported weights reproduce the JAX forward inside torch."""
+        import jax
+        import numpy as np
+        import torch
+
+        from ocrfa_tpu.checkpoints import export_crnn_gen1
+        from ocrfa_tpu.models.crnn import crnn_apply, init_crnn_gen1
+        from torch_replicas import Gen1Model
+
+        params = init_crnn_gen1(jax.random.PRNGKey(4), num_class=11,
+                                output_channel=64, hidden_size=64)
+        model = Gen1Model(num_class=11, output_channel=64, hidden_size=64)
+        model.load_state_dict({k: torch.from_numpy(np.array(v))
+                               for k, v in export_crnn_gen1(params).items()},
+                              strict=True)
+        model.eval()
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, (2, 64, 96, 1)).astype(np.float32)
+        ours = np.asarray(crnn_apply(params, x), np.float32)
+        with torch.no_grad():
+            theirs = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)

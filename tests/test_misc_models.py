@@ -110,3 +110,34 @@ class TestDeformRoIPoolGroups:
                 cell = gy * 2 + gx
                 expected = cell * cpg + np.arange(4)
                 np.testing.assert_allclose(out[gy, gx], expected, atol=1e-4)
+
+
+class TestMobileNetV3:
+    @pytest.mark.parametrize("mode", ["large", "small"])
+    def test_pyramid_shapes(self, mode):
+        import jax
+
+        from ocrfa_tpu.models.mobilenetv3 import (
+            PYRAMID_CHANNELS_BY_MODE,
+            init_mobilenetv3,
+            mobilenetv3_backbone,
+        )
+
+        params = init_mobilenetv3(jax.random.PRNGKey(0), mode=mode)
+        x = np.zeros((1, 64, 96, 3), dtype=np.float32)
+        taps = mobilenetv3_backbone(params, x, mode=mode)
+        assert len(taps) == 4
+        chans = PYRAMID_CHANNELS_BY_MODE[mode]
+        for tap, stride, c in zip(taps, (4, 8, 16, 32), chans):
+            assert tap.shape == (1, 64 // stride, 96 // stride, c), (
+                f"{mode} tap /{stride}: {tap.shape}"
+            )
+
+    def test_small_block_count_matches_reference_table2(self):
+        """Reference small mode has 11 bottlenecks (mobilenetv3.py:146-157);
+        its forward crashes (range(17) over 16 features, :210) — we fix the
+        taps rather than replicate the crash."""
+        from ocrfa_tpu.models.mobilenetv3 import _SETTINGS
+
+        assert len(_SETTINGS["small"]) == 11
+        assert len(_SETTINGS["large"]) == 15
