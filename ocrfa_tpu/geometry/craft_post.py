@@ -47,18 +47,31 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
     component is processed inside its own bounding window instead of
     allocating full-canvas masks per label (O(sum of windows), not
     O(labels x H x W))."""
+    text_mask = textmap > low_text  # cv2.threshold is strictly >
+    link_mask = linkmap > link_threshold
+    comb = text_mask | link_mask
+    link_only = link_mask & ~text_mask
+    return get_det_boxes_from_masks(comb, link_only, textmap, text_threshold,
+                                    linkmap if estimate_num_chars else None)
+
+
+def get_det_boxes_from_masks(text_score_comb, link_only, textmap,
+                             text_threshold, linkmap_for_chars=None):
+    """Component loop over precomputed threshold masks.
+
+    Serving ships these masks bit-packed from the device (the f32 heatmap
+    download is the detection bottleneck, ~6x larger); the parity path
+    builds them on host in :func:`get_det_boxes_core` — the loop below is
+    shared and identical.
+    """
+    estimate_num_chars = linkmap_for_chars is not None
     img_h, img_w = textmap.shape
 
-    text_score = (textmap > low_text).astype(np.float32)  # cv2.threshold is strictly >
-    link_score = (linkmap > link_threshold).astype(np.float32)
-
-    text_score_comb = np.clip(text_score + link_score, 0, 1)
     labels, n_labels = cc_label(text_score_comb.astype(np.uint8), structure=_CROSS)
     slices = find_objects(labels)
 
     det = []
     mapper = []
-    link_only = np.logical_and(link_score == 1, text_score == 0)
 
     for k in range(1, n_labels + 1):
         sl = slices[k - 1]
@@ -85,7 +98,7 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
                sl[1].start - sx:sl[1].stop - sx][local] = 255
         if estimate_num_chars:
             character_locs = (
-                (textmap[sl] - linkmap[sl]) * local
+                (textmap[sl] - linkmap_for_chars[sl]) * local
             ) > text_threshold
             _, n_chars = cc_label(character_locs)
             mapper.append(n_chars)

@@ -108,16 +108,17 @@ class Recognizer:
 
         self._apply_greedy = jax.jit(_fused)
 
-        def _fused_ribbon(params, flat, meta, keep_mask, *, out_w):
+        def _fused_ribbon(params, flat, meta, keep_mask, *, out_w, wire):
             from ocrfa_tpu.preproc.ribbon import ribbon_to_batch
 
-            crops, _ = ribbon_to_batch(flat, meta, out_w=out_w)
+            crops, _ = ribbon_to_batch(flat, meta, out_w=out_w, wire=wire)
             logits = model_fn(params, crops.astype(self.compute_dtype))
             indices, values = postprocess_logits(logits.astype(jnp.float32),
                                                  keep_mask)
             return indices, ctc_confidences(indices, values)
 
-        self._apply_ribbon = jax.jit(_fused_ribbon, static_argnames=("out_w",))
+        self._apply_ribbon = jax.jit(_fused_ribbon,
+                                     static_argnames=("out_w", "wire"))
 
         def _fused_probs(params, x, keep_mask):
             logits = model_fn(params, _norm(x)).astype(jnp.float32)
@@ -170,18 +171,20 @@ class Recognizer:
         indices, confs = self._apply_greedy(self.params, x, jnp.asarray(keep_mask))
         return indices, confs, n
 
-    def predict_ribbon_async(self, crops, keep_mask, out_w: int, img_h: int = 64):
+    def predict_ribbon_async(self, crops, keep_mask, out_w: int,
+                             img_h: int = 64, wire: str = "u8"):
         """Dispatch native-resolution crops through the ribbon wire format.
 
-        Crops cross the link as one packed uint8 byte ribbon (native size,
-        2-4x fewer bytes than padded batches); resize-to-bucket, forward and
-        CTC postprocess run as one device program.  Returns the same handle
-        shape as :meth:`predict_async`.
+        Crops cross the link as one packed byte ribbon (native size, 2-4x
+        fewer bytes than padded batches; ``wire="u4"`` halves that again
+        with 4-bit pixels); resize-to-bucket, forward and CTC postprocess
+        run as one device program.  Returns the same handle shape as
+        :meth:`predict_async`.
         """
         from ocrfa_tpu.preproc.ribbon import pack_crops
 
         n = len(crops)
-        flat, meta = pack_crops(crops)
+        flat, meta = pack_crops(crops, wire=wire)
         flat = jnp.asarray(flat)
         meta_dev = jnp.asarray(meta)
         if self.mesh is not None:
@@ -191,7 +194,7 @@ class Recognizer:
             meta_dev = shard_batch(meta, self.mesh)
         indices, confs = self._apply_ribbon(
             self.params, flat, meta_dev, jnp.asarray(keep_mask),
-            out_w=int(out_w),
+            out_w=int(out_w), wire=wire,
         )
         return indices, confs, n
 

@@ -27,8 +27,10 @@ MAX_WIDTH = 2560
 # Parity ladder: multiples of 64 (matches reference max_width exactly).
 WIDTH_BUCKETS = tuple(range(MODEL_HEIGHT, MAX_WIDTH + 1, MODEL_HEIGHT))
 
-# Coarse ladder for serving throughput (fewer compiled shapes, denser batches).
-SERVING_WIDTH_BUCKETS = (128, 256, 512, 1024, 1536, 2048, 2560)
+# Serving ladder: ~64px steps through the common text-line range (padding
+# waste is pure conv compute at these widths), coarser above.
+SERVING_WIDTH_BUCKETS = (128, 192, 256, 320, 384, 448, 512, 640, 768, 1024,
+                         1536, 2048, 2560)
 
 # Batch sizes are also bucketed (next power of two) to bound compile count.
 BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)

@@ -167,6 +167,9 @@ def main():
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
     fast_res = fast.collect(fast.predict_ribbon_async(crops, keep, out_w=max_width))
     fast_texts = [t for t, _ in fast_res]
+    fast4_res = fast.collect(
+        fast.predict_ribbon_async(crops, keep, out_w=max_width, wire="u4"))
+    fast4_texts = [t for t, _ in fast4_res]
 
     # ---- reference torch pipeline on the exported weights -----------------
     import torch
@@ -202,6 +205,7 @@ def main():
         "cer_reference_vs_truth": round(cer(ref_texts, eval_texts), 6),
         "cer_serving_int8_vs_truth": round(cer(fast_texts, eval_texts), 6),
         "cer_serving_int8_vs_reference": round(cer(fast_texts, ref_texts), 6),
+        "cer_serving_int8_u4wire_vs_truth": round(cer(fast4_texts, eval_texts), 6),
         "latency_ms_p50_single_line": round(float(np.percentile(lat, 50)), 2),
         "latency_ms_p95_single_line": round(float(np.percentile(lat, 95)), 2),
     }

@@ -125,3 +125,46 @@ class TestFusedRibbonRecognition:
         )
         assert len(sharded) == 11
         assert [r[0] for r in single] == [r[0] for r in sharded]
+
+
+class TestU4Wire:
+    def test_u4_roundtrip_quantization(self):
+        rng = np.random.default_rng(4)
+        crop = rng.integers(0, 255, (32, 40), dtype=np.uint8)
+        rows8, meta8 = pack_crops([crop], wire="u8")
+        rows4, meta4 = pack_crops([crop], wire="u4")
+        assert rows4.shape[1] == rows8.shape[1] // 2
+        np.testing.assert_array_equal(np.asarray(meta4), np.asarray(meta8))
+
+        out8, w8 = ribbon_to_batch(rows8, meta8, out_w=128, wire="u8")
+        out4, w4 = ribbon_to_batch(rows4, meta4, out_w=128, wire="u4")
+        assert int(w4[0]) == int(w8[0])
+        # 4-bit pixels: max reconstruction error 15/255 pre-normalisation
+        err = np.abs(np.asarray(out4) - np.asarray(out8)).max()
+        assert err <= 2 * 15 / 255 + 1e-6, err
+
+    def test_u4_exact_for_4bit_content(self):
+        """Content that is already 16-level survives the u4 wire exactly."""
+        rng = np.random.default_rng(5)
+        crop = (rng.integers(0, 16, (32, 64), dtype=np.uint8) * 17).astype(np.uint8)
+        out8, _ = ribbon_to_batch(*pack_crops([crop], wire="u8"), out_w=128, wire="u8")
+        out4, _ = ribbon_to_batch(*pack_crops([crop], wire="u4"), out_w=128, wire="u4")
+        np.testing.assert_allclose(np.asarray(out4), np.asarray(out8), atol=1e-6)
+
+    def test_fused_u4_recognition_runs(self):
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer
+
+        conv = CTCLabelConverter("ابتث")
+        params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                                output_channel=64, hidden_size=64)
+        rec = Recognizer(params, conv)
+        keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        rng = np.random.default_rng(6)
+        crops = [rng.integers(0, 255, (32, 48), dtype=np.uint8) for _ in range(3)]
+        out = rec.collect(rec.predict_ribbon_async(crops, keep, out_w=128, wire="u4"))
+        assert len(out) == 3 and all(isinstance(t, str) for t, _ in out)

@@ -77,3 +77,46 @@ class TestServingMesh:
         assert len(handles) == 8
         results = [pipe.finish_page(h) for h in handles]
         assert len(results) == 8
+
+
+class TestDetectionSeeding:
+    def test_packbits_roundtrip(self):
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.serving import _packbits
+
+        rng = np.random.default_rng(0)
+        mask = rng.random((3, 16, 64)) > 0.5
+        packed = np.asarray(_packbits(jnp.asarray(mask)))
+        np.testing.assert_array_equal(
+            np.unpackbits(packed, axis=-1).astype(bool), mask
+        )
+
+    def test_seeded_boxes_match_f32_path(self):
+        """Bit-packed masks + u8 textmap give the same components/boxes as
+        the full-precision host path on quantization-safe heatmaps."""
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.geometry.craft_post import (
+            get_det_boxes,
+            get_det_boxes_from_masks,
+        )
+        from ocrfa_tpu.serving import _seed_detection
+
+        rng = np.random.default_rng(1)
+        # heatmap values quantized to /255 so u8 transport is lossless here
+        text = (rng.integers(0, 256, (64, 96)) / 255.0).astype(np.float32)
+        link = (rng.integers(0, 256, (64, 96)) / 255.0).astype(np.float32)
+
+        ref_boxes, _, _ = get_det_boxes(text, link, 0.7, 0.4, 0.4)
+
+        comb_p, link_p, text_u8 = _seed_detection(
+            jnp.stack([jnp.asarray(text), jnp.asarray(link)], axis=-1), 0.4, 0.4)
+        comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
+        link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
+        got_boxes, _, _ = get_det_boxes_from_masks(
+            comb, link_only, np.asarray(text_u8).astype(np.float32) / 255.0, 0.7)
+
+        assert len(got_boxes) == len(ref_boxes)
+        for a, b in zip(got_boxes, ref_boxes):
+            np.testing.assert_allclose(a, b)
