@@ -258,6 +258,9 @@ def convert_dbnet(sd: dict, backbone: str = "resnet18") -> dict:
         (k[len("model.module."):] if k.startswith("model.module.") else k): v
         for k, v in sd.items()
     }
+    if backbone.startswith("mobilenetv3"):
+        return _convert_dbnet_decoder(
+            sd, convert_mobilenetv3(sd, mode=backbone.split("_", 1)[1]))
     layers = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}[backbone]
     bottleneck = backbone == "resnet50"
 
@@ -287,6 +290,12 @@ def convert_dbnet(sd: dict, backbone: str = "resnet18") -> dict:
     for li, n in enumerate(layers, start=1):
         bb[f"layer{li}"] = [block(f"backbone.layer{li}.{i}") for i in range(n)]
 
+    return _convert_dbnet_decoder(sd, bb)
+
+
+def _convert_dbnet_decoder(sd: dict, bb: dict) -> dict:
+    """SegDetector / SegSpatialScaleDetector decoder weights -> params."""
+
     def head(prefix):
         return {
             "conv": _conv(sd, f"{prefix}.0"),
@@ -309,7 +318,89 @@ def convert_dbnet(sd: dict, backbone: str = "resnet18") -> dict:
     }
     if "decoder.thresh.0.weight" in sd:
         decoder["thresh"] = head("decoder.thresh")
+    if "decoder.concat_attention.conv.weight" in sd:
+        decoder["concat_attention"] = _convert_asf(sd, "decoder.concat_attention")
     return {"backbone": bb, "decoder": decoder}
+
+
+def _convert_asf(sd: dict, prefix: str) -> dict:
+    """ScaleFeatureSelection weights (decoders/feature_attention.py:113-145).
+
+    The attention flavour is sniffed from the state-dict keys: channel_wise
+    -> scale_channel_spatial, fc1 -> scale_channel, else scale_spatial."""
+    attn = prefix + ".enhanced_attention"
+    p = {"conv": _conv(sd, prefix + ".conv", bias=True)}
+    if attn + ".channel_wise.1.weight" in sd:
+        p["attn"] = {
+            "channel1": _conv(sd, attn + ".channel_wise.1"),
+            "channel2": _conv(sd, attn + ".channel_wise.3"),
+            "spatial1": _conv(sd, attn + ".spatial_wise.0"),
+            "spatial2": _conv(sd, attn + ".spatial_wise.2"),
+            "attention": _conv(sd, attn + ".attention_wise.0"),
+        }
+    elif attn + ".fc1.weight" in sd:
+        p["attn"] = {
+            "fc1": _conv(sd, attn + ".fc1"),
+            "bn": _bn(sd, attn + ".bn"),
+            "fc2": _conv(sd, attn + ".fc2"),
+        }
+    else:
+        p["attn"] = {
+            "spatial1": _conv(sd, attn + ".spatial_wise.0"),
+            "spatial2": _conv(sd, attn + ".spatial_wise.2"),
+            "attention": _conv(sd, attn + ".attention_wise.0"),
+        }
+    return p
+
+
+def asf_attention_type(params: dict) -> str:
+    """Attention flavour of converted ASF decoder params (for dbnet_apply)."""
+    attn = params["decoder"]["concat_attention"]["attn"]
+    if "channel1" in attn:
+        return "scale_channel_spatial"
+    if "fc1" in attn:
+        return "scale_channel"
+    return "scale_spatial"
+
+
+def convert_mobilenetv3(sd: dict, mode: str = "large") -> dict:
+    """Reference MobileNetV3 backbone state dict -> mobilenetv3 params.
+
+    Keys are ``backbone.features.{i}...`` (backbones/mobilenetv3.py:120-197):
+    features.0 is the stem conv_bn, features.1..n MobileBottlenecks whose
+    ``conv`` Sequential indexes pw/bn/dw/bn/SE/pw-linear/bn at 0/1/3/4/5/7/8,
+    and features.n+1 the final conv_1x1_bn.  The classifier tail (avgpool +
+    1x1 conv, unused by the detector forward) is ignored."""
+    sd = {
+        (k[len("model.module."):] if k.startswith("model.module.") else k): v
+        for k, v in sd.items()
+    }
+    n_blocks = {"large": 15, "small": 11}[mode]
+    p = {
+        "stem": _conv(sd, "backbone.features.0.0"),
+        "stem_bn": _bn(sd, "backbone.features.0.1"),
+        "blocks": [],
+    }
+    for i in range(1, n_blocks + 1):
+        base = f"backbone.features.{i}.conv"
+        blk = {
+            "pw": _conv(sd, base + ".0"),
+            "pw_bn": _bn(sd, base + ".1"),
+            "dw": _conv(sd, base + ".3"),
+            "dw_bn": _bn(sd, base + ".4"),
+            "pw2": _conv(sd, base + ".7"),
+            "pw2_bn": _bn(sd, base + ".8"),
+        }
+        if base + ".5.fc.0.weight" in sd:
+            # torch Linear (out, in) -> right-multiplied (in, out)
+            blk["se"] = {
+                "fc1": np.transpose(sd[base + ".5.fc.0.weight"]),
+                "fc2": np.transpose(sd[base + ".5.fc.2.weight"]),
+            }
+        p["blocks"].append(blk)
+    p["last"] = _conv(sd, f"backbone.features.{n_blocks + 1}.0")
+    p["last_bn"] = _bn(sd, f"backbone.features.{n_blocks + 1}.1")
+    return p
 
 
 # ---------------------------------------------------------------------------

@@ -66,9 +66,16 @@ class DBNetDetector:
 
             params = replicate(params, mesh)
         self.params = jax.device_put(params)
+        if "concat_attention" in params.get("decoder", {}):
+            from ocrfa_tpu.checkpoints import asf_attention_type
+
+            decoder, attn = "asf", asf_attention_type(params)
+        else:
+            decoder, attn = "fpn", "scale_spatial"
         self._apply = jax.jit(
             lambda p, x: dbnet_apply(p, x.astype(self.compute_dtype),
-                                     backbone=backbone).astype(jnp.float32)
+                                     backbone=backbone, decoder=decoder,
+                                     attention_type=attn).astype(jnp.float32)
         )
 
     @classmethod

@@ -259,11 +259,25 @@ ARCHS = {
 
 
 def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
-                bn_train: bool = False):
-    """BGR-mean-normalised page (N, H, W, 3) -> probability heatmap."""
-    arch = ARCHS[backbone]
-    features = resnet_backbone(params["backbone"], x, block=arch["block"],
-                               train=bn_train)
+                bn_train: bool = False, decoder: str = "fpn",
+                attention_type: str = "scale_spatial"):
+    """BGR-mean-normalised page (N, H, W, 3) -> probability heatmap.
+
+    ``backbone``: resnet18/resnet50 (resnet.py) or mobilenetv3_large/
+    mobilenetv3_small (backbones/mobilenetv3.py).  ``decoder="asf"``
+    selects the attention decoder (seg_detector_asf.py)."""
+    if backbone.startswith("mobilenetv3"):
+        from ocrfa_tpu.models.mobilenetv3 import mobilenetv3_backbone
+
+        features = mobilenetv3_backbone(params["backbone"], x,
+                                        mode=backbone.split("_", 1)[1])
+    else:
+        arch = ARCHS[backbone]
+        features = resnet_backbone(params["backbone"], x, block=arch["block"],
+                                   train=bn_train)
+    if decoder == "asf":
+        return seg_detector_asf(params["decoder"], features, training=training,
+                                attention_type=attention_type)
     return seg_detector(params["decoder"], features, training=training,
                         bn_train=bn_train)
 
@@ -311,30 +325,44 @@ def _init_block(rng, cin, cout, block, stride, dcn, expansion=1):
 
 
 def init_dbnet(rng, backbone: str = "resnet18", adaptive: bool = True,
-               inner_channels: int = 256):
+               inner_channels: int = 256, decoder: str = "fpn",
+               attention_type: str = "scale_spatial"):
     from ocrfa_tpu.models.layers import init_bn, init_conv
 
-    arch = ARCHS[backbone]
-    exp = arch["expansion"]
-    keys = iter(jax.random.split(rng, 80))
+    if backbone.startswith("mobilenetv3"):
+        from ocrfa_tpu.models.mobilenetv3 import (
+            PYRAMID_CHANNELS_BY_MODE,
+            init_mobilenetv3,
+        )
 
-    bb = {"conv1": init_conv(next(keys), 7, 7, 3, 64), "bn1": init_bn(64)}
-    cin = 64
-    for li, (name, cout, nblocks) in enumerate(
-        zip(("layer1", "layer2", "layer3", "layer4"), arch["channels"], arch["layers"])
-    ):
-        stride = 1 if li == 0 else 2
-        dcn = li >= 1  # deformable on stages 2-4 (resnet.py:269-282)
-        blocks = [_init_block(next(keys), cin, cout, arch["block"], stride, dcn, exp)]
-        cin = cout * exp
-        blocks += [
-            _init_block(next(keys), cin, cout, arch["block"], 1, dcn, exp)
-            for _ in range(nblocks - 1)
-        ]
-        bb[name] = blocks
+        mode = backbone.split("_", 1)[1]
+        rng, bb_rng = jax.random.split(rng)
+        bb = init_mobilenetv3(bb_rng, mode=mode)
+        in_channels = list(PYRAMID_CHANNELS_BY_MODE[mode])
+        keys = iter(jax.random.split(rng, 16))
+        ic = inner_channels
+    else:
+        arch = ARCHS[backbone]
+        exp = arch["expansion"]
+        keys = iter(jax.random.split(rng, 80))
 
-    in_channels = [c * exp for c in arch["channels"]]
-    ic = inner_channels
+        bb = {"conv1": init_conv(next(keys), 7, 7, 3, 64), "bn1": init_bn(64)}
+        cin = 64
+        for li, (name, cout, nblocks) in enumerate(
+            zip(("layer1", "layer2", "layer3", "layer4"), arch["channels"], arch["layers"])
+        ):
+            stride = 1 if li == 0 else 2
+            dcn = li >= 1  # deformable on stages 2-4 (resnet.py:269-282)
+            blocks = [_init_block(next(keys), cin, cout, arch["block"], stride, dcn, exp)]
+            cin = cout * exp
+            blocks += [
+                _init_block(next(keys), cin, cout, arch["block"], 1, dcn, exp)
+                for _ in range(nblocks - 1)
+            ]
+            bb[name] = blocks
+
+        in_channels = [c * exp for c in arch["channels"]]
+        ic = inner_channels
 
     def head(rng):
         ks = iter(jax.random.split(rng, 6))
@@ -353,7 +381,7 @@ def init_dbnet(rng, backbone: str = "resnet18", adaptive: bool = True,
             },
         }
 
-    decoder = {
+    decoder_p = {
         "in5": init_conv(next(keys), 1, 1, in_channels[3], ic),
         "in4": init_conv(next(keys), 1, 1, in_channels[2], ic),
         "in3": init_conv(next(keys), 1, 1, in_channels[1], ic),
@@ -365,5 +393,39 @@ def init_dbnet(rng, backbone: str = "resnet18", adaptive: bool = True,
         "binarize": head(next(keys)),
     }
     if adaptive:
-        decoder["thresh"] = head(next(keys))
-    return {"backbone": bb, "decoder": decoder}
+        decoder_p["thresh"] = head(next(keys))
+    if decoder == "asf":
+        decoder_p["concat_attention"] = init_scale_feature_selection(
+            next(keys), ic, ic // 4, attention_type=attention_type)
+    return {"backbone": bb, "decoder": decoder_p}
+
+
+def init_scale_feature_selection(rng, in_ch: int, inter_ch: int,
+                                 out_features_num: int = 4,
+                                 attention_type: str = "scale_spatial"):
+    """Random params for ScaleFeatureSelection (feature_attention.py:113-145)."""
+    from ocrfa_tpu.models.layers import init_bn, init_conv
+
+    keys = iter(jax.random.split(rng, 8))
+    p = {"conv": init_conv(next(keys), 3, 3, in_ch, inter_ch, bias=True)}
+    if attention_type == "scale_spatial":
+        p["attn"] = {
+            "spatial1": init_conv(next(keys), 3, 3, 1, 1),
+            "spatial2": init_conv(next(keys), 1, 1, 1, 1),
+            "attention": init_conv(next(keys), 1, 1, inter_ch, out_features_num),
+        }
+    elif attention_type == "scale_channel_spatial":
+        p["attn"] = {
+            "channel1": init_conv(next(keys), 1, 1, inter_ch, inter_ch // 4),
+            "channel2": init_conv(next(keys), 1, 1, inter_ch // 4, inter_ch),
+            "spatial1": init_conv(next(keys), 3, 3, 1, 1),
+            "spatial2": init_conv(next(keys), 1, 1, 1, 1),
+            "attention": init_conv(next(keys), 1, 1, inter_ch, out_features_num),
+        }
+    else:  # scale_channel
+        p["attn"] = {
+            "fc1": init_conv(next(keys), 1, 1, inter_ch, inter_ch // 2),
+            "bn": init_bn(inter_ch // 2),
+            "fc2": init_conv(next(keys), 1, 1, inter_ch // 2, out_features_num),
+        }
+    return p

@@ -94,3 +94,84 @@ class TestDBNetTraining:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
         assert "bce_loss" in metrics
+
+
+class TestMobileNetV3Converter:
+    def _parity(self, mode):
+        import torch
+
+        from tests.torch_replicas import MobileNetV3Ref
+
+        torch.manual_seed(3)
+        model = MobileNetV3Ref(mode).eval()
+        _randomize_bn_stats(model, seed=3)
+        sd = {f"backbone.{k}": v.detach().numpy()
+              for k, v in model.state_dict().items()
+              if "num_batches_tracked" not in k}
+        params = checkpoints.convert_mobilenetv3(sd, mode=mode)
+
+        from ocrfa_tpu.models.mobilenetv3 import mobilenetv3_backbone
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 64, 96, 3), dtype=np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ours = mobilenetv3_backbone(params, x, mode=mode)
+        assert len(ours) == 4
+        for o, r in zip(ours, ref):
+            np.testing.assert_allclose(
+                np.asarray(o).transpose(0, 3, 1, 2), r.numpy(),
+                atol=2e-4, rtol=1e-3)
+
+    def test_large_parity(self):
+        self._parity("large")
+
+    def test_small_parity(self):
+        self._parity("small")
+
+
+class TestASFDecoderConverter:
+    def _parity(self, attention_type):
+        import torch
+
+        from tests.torch_replicas import SegDetectorASFRef
+
+        torch.manual_seed(4)
+        model = SegDetectorASFRef(attention_type).eval()
+        _randomize_bn_stats(model, seed=4)
+        sd = {f"decoder.{k}": v.detach().numpy()
+              for k, v in model.state_dict().items()
+              if "num_batches_tracked" not in k}
+        params = checkpoints._convert_dbnet_decoder(sd, bb={})
+        assert checkpoints.asf_attention_type(params) == attention_type
+
+        rng = np.random.default_rng(4)
+        shapes = [(1, 64, 16, 24), (1, 128, 8, 12), (1, 256, 4, 6), (1, 512, 2, 3)]
+        feats_t = [torch.from_numpy(
+            rng.standard_normal(s, dtype=np.float32)) for s in shapes]
+        with torch.no_grad():
+            ref = model(feats_t).numpy()
+        feats_j = [f.numpy().transpose(0, 2, 3, 1) for f in feats_t]
+        ours = dbnet.seg_detector_asf(params["decoder"], feats_j,
+                                      attention_type=attention_type)
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), ref, atol=2e-4, rtol=1e-3)
+
+    def test_scale_spatial(self):
+        self._parity("scale_spatial")
+
+    def test_scale_channel_spatial(self):
+        self._parity("scale_channel_spatial")
+
+    def test_scale_channel(self):
+        self._parity("scale_channel")
+
+    def test_init_asf_mobilenet_runs(self):
+        import jax
+
+        params = dbnet.init_dbnet(jax.random.PRNGKey(2),
+                                  backbone="mobilenetv3_small", decoder="asf")
+        x = np.zeros((1, 64, 96, 3), dtype=np.float32)
+        y = dbnet.dbnet_apply(params, x, backbone="mobilenetv3_small",
+                              decoder="asf")
+        assert y.shape == (1, 64, 96, 1)

@@ -392,3 +392,224 @@ class DBNetRefModel(nn.Module):
 
     def forward(self, x):
         return self.decoder(self.backbone(x))
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 backbone (DBNet/backbones/mobilenetv3.py)
+
+
+class _Hswish(nn.Module):
+    def forward(self, x):
+        return x * torch.nn.functional.relu6(x + 3.0) / 6.0
+
+
+class _Hsigmoid(nn.Module):
+    def forward(self, x):
+        return torch.nn.functional.relu6(x + 3.0) / 6.0
+
+
+class _SEModule(nn.Module):
+    def __init__(self, channel, reduction=4):
+        super().__init__()
+        self.avg_pool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Sequential(
+            nn.Linear(channel, channel // reduction, bias=False),
+            nn.ReLU(inplace=True),
+            nn.Linear(channel // reduction, channel, bias=False),
+            _Hsigmoid())
+
+    def forward(self, x):
+        b, c, _, _ = x.size()
+        y = self.avg_pool(x).view(b, c)
+        return x * self.fc(y).view(b, c, 1, 1)
+
+
+class _MobileBottleneck(nn.Module):
+    """MobileBottleneck replica (mobilenetv3.py:76-117): the ``conv``
+    Sequential indexes pw/bn/nl/dw/bn/SE/nl/pw-linear/bn at 0-8."""
+
+    def __init__(self, inp, oup, kernel, stride, exp, se, nl):
+        super().__init__()
+        self.use_res_connect = stride == 1 and inp == oup
+        nlin = _Hswish if nl == "HS" else nn.ReLU
+        pad = (kernel - 1) // 2
+        self.conv = nn.Sequential(
+            nn.Conv2d(inp, exp, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(exp),
+            nlin(),
+            nn.Conv2d(exp, exp, kernel, stride, pad, groups=exp, bias=False),
+            nn.BatchNorm2d(exp),
+            _SEModule(exp) if se else nn.Identity(),
+            nlin(),
+            nn.Conv2d(exp, oup, 1, 1, 0, bias=False),
+            nn.BatchNorm2d(oup),
+        )
+
+    def forward(self, x):
+        y = self.conv(x)
+        return x + y if self.use_res_connect else y
+
+
+_MNV3_SETTINGS = {
+    "large": [
+        (3, 16, 16, False, "RE", 1), (3, 64, 24, False, "RE", 2),
+        (3, 72, 24, False, "RE", 1), (5, 72, 40, True, "RE", 2),
+        (5, 120, 40, True, "RE", 1), (5, 120, 40, True, "RE", 1),
+        (3, 240, 80, False, "HS", 2), (3, 200, 80, False, "HS", 1),
+        (3, 184, 80, False, "HS", 1), (3, 184, 80, False, "HS", 1),
+        (3, 480, 112, True, "HS", 1), (3, 672, 112, True, "HS", 1),
+        (5, 672, 160, True, "HS", 2), (5, 960, 160, True, "HS", 1),
+        (5, 960, 160, True, "HS", 1),
+    ],
+    "small": [
+        (3, 16, 16, True, "RE", 2), (3, 72, 24, False, "RE", 2),
+        (3, 88, 24, False, "RE", 1), (5, 96, 40, True, "HS", 2),
+        (5, 240, 40, True, "HS", 1), (5, 240, 40, True, "HS", 1),
+        (5, 120, 48, True, "HS", 1), (5, 144, 48, True, "HS", 1),
+        (5, 288, 96, True, "HS", 2), (5, 576, 96, True, "HS", 1),
+        (5, 576, 96, True, "HS", 1),
+    ],
+}
+_MNV3_TAPS = {"large": (3, 6, 12), "small": (1, 3, 8)}
+_MNV3_LAST = {"large": 960, "small": 576}
+
+
+class MobileNetV3Ref(nn.Module):
+    """Backbone replica (mobilenetv3.py:120-220), detector forward taps.
+
+    The reference's small forward indexes past its feature list and crashes
+    (``range(17)`` over 13 features, :210); like the production rebuild this
+    replica taps the last block of each resolution instead."""
+
+    def __init__(self, mode="large"):
+        super().__init__()
+        self.mode = mode
+        feats = [nn.Sequential(
+            nn.Conv2d(3, 16, 3, 2, 1, bias=False), nn.BatchNorm2d(16), _Hswish())]
+        cin = 16
+        for k, exp, c, se, nl, s in _MNV3_SETTINGS[mode]:
+            feats.append(_MobileBottleneck(cin, c, k, s, exp, se, nl))
+            cin = c
+        last = _MNV3_LAST[mode]
+        feats.append(nn.Sequential(
+            nn.Conv2d(cin, last, 1, 1, 0, bias=False), nn.BatchNorm2d(last),
+            _Hswish()))
+        self.features = nn.ModuleList(feats)
+
+    def forward(self, x):
+        taps = []
+        for i, stage in enumerate(self.features):
+            x = stage(x)
+            if i in _MNV3_TAPS[self.mode]:
+                taps.append(x)
+        taps.append(x)
+        return tuple(taps)
+
+
+# ---------------------------------------------------------------------------
+# ASF decoder (DBNet/decoders/seg_detector_asf.py + feature_attention.py)
+
+
+class ScaleSpatialAttentionRef(nn.Module):
+    def __init__(self, in_planes, out_planes, num_features):
+        super().__init__()
+        self.spatial_wise = nn.Sequential(
+            nn.Conv2d(1, 1, 3, bias=False, padding=1), nn.ReLU(),
+            nn.Conv2d(1, 1, 1, bias=False), nn.Sigmoid())
+        self.attention_wise = nn.Sequential(
+            nn.Conv2d(in_planes, num_features, 1, bias=False), nn.Sigmoid())
+
+    def forward(self, x):
+        g = torch.mean(x, dim=1, keepdim=True)
+        g = self.spatial_wise(g) + x
+        return self.attention_wise(g)
+
+
+class ScaleChannelSpatialAttentionRef(nn.Module):
+    def __init__(self, in_planes, out_planes, num_features):
+        super().__init__()
+        self.channel_wise = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(in_planes, out_planes, 1, bias=False), nn.ReLU(),
+            nn.Conv2d(out_planes, in_planes, 1, bias=False))
+        self.spatial_wise = nn.Sequential(
+            nn.Conv2d(1, 1, 3, bias=False, padding=1), nn.ReLU(),
+            nn.Conv2d(1, 1, 1, bias=False), nn.Sigmoid())
+        self.attention_wise = nn.Sequential(
+            nn.Conv2d(in_planes, num_features, 1, bias=False), nn.Sigmoid())
+
+    def forward(self, x):
+        g = self.channel_wise(x).sigmoid()
+        g = g + x
+        m = torch.mean(g, dim=1, keepdim=True)
+        g = self.spatial_wise(m) + g
+        return self.attention_wise(g)
+
+
+class ScaleChannelAttentionRef(nn.Module):
+    def __init__(self, in_planes, out_planes, num_features):
+        super().__init__()
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc1 = nn.Conv2d(in_planes, out_planes, 1, bias=False)
+        self.bn = nn.BatchNorm2d(out_planes)
+        self.fc2 = nn.Conv2d(out_planes, num_features, 1, bias=False)
+
+    def forward(self, x):
+        g = self.avgpool(x)
+        g = torch.nn.functional.relu(self.bn(self.fc1(g)))
+        g = self.fc2(g)
+        return torch.nn.functional.softmax(g, 1)
+
+
+class ScaleFeatureSelectionRef(nn.Module):
+    """feature_attention.py:113-145."""
+
+    def __init__(self, in_channels, inter_channels, out_features_num=4,
+                 attention_type="scale_spatial"):
+        super().__init__()
+        self.type = attention_type
+        self.out_features_num = out_features_num
+        self.conv = nn.Conv2d(in_channels, inter_channels, 3, padding=1)
+        if attention_type == "scale_spatial":
+            self.enhanced_attention = ScaleSpatialAttentionRef(
+                inter_channels, inter_channels // 4, out_features_num)
+        elif attention_type == "scale_channel_spatial":
+            self.enhanced_attention = ScaleChannelSpatialAttentionRef(
+                inter_channels, inter_channels // 4, out_features_num)
+        else:
+            self.enhanced_attention = ScaleChannelAttentionRef(
+                inter_channels, inter_channels // 2, out_features_num)
+
+    def forward(self, concat_x, features_list):
+        concat_x = self.conv(concat_x)
+        score = self.enhanced_attention(concat_x)
+        if self.type not in ("scale_channel_spatial", "scale_spatial"):
+            score = torch.nn.functional.interpolate(
+                score, size=features_list[0].shape[2:], mode="bilinear")
+        parts = [score[:, i:i + 1] * features_list[i]
+                 for i in range(self.out_features_num)]
+        return torch.cat(parts, dim=1)
+
+
+class SegDetectorASFRef(SegDetectorRef):
+    """SegSpatialScaleDetector replica (seg_detector_asf.py:9-120)."""
+
+    def __init__(self, attention_type="scale_spatial", inner_channels=256,
+                 **kw):
+        super().__init__(inner_channels=inner_channels, **kw)
+        self.concat_attention = ScaleFeatureSelectionRef(
+            inner_channels, inner_channels // 4, attention_type=attention_type)
+
+    def forward(self, features):
+        c2, c3, c4, c5 = features
+        in5, in4, in3, in2 = self.in5(c5), self.in4(c4), self.in3(c3), self.in2(c2)
+        out4 = self.up5(in5) + in4
+        out3 = self.up4(out4) + in3
+        out2 = self.up3(out3) + in2
+        p5 = self.out5(in5)
+        p4 = self.out4(out4)
+        p3 = self.out3(out3)
+        p2 = self.out2(out2)
+        fuse = torch.cat((p5, p4, p3, p2), 1)
+        fuse = self.concat_attention(fuse, [p5, p4, p3, p2])
+        return self.binarize(fuse)
