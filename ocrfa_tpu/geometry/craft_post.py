@@ -51,21 +51,28 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
     link_mask = linkmap > link_threshold
     comb = text_mask | link_mask
     link_only = link_mask & ~text_mask
-    return get_det_boxes_from_masks(comb, link_only, textmap, text_threshold,
-                                    linkmap if estimate_num_chars else None)
+    text_over = textmap >= text_threshold
+    return get_det_boxes_from_masks(
+        comb, link_only, text_over,
+        textmap=textmap if estimate_num_chars else None,
+        linkmap=linkmap if estimate_num_chars else None,
+        text_threshold=text_threshold)
 
 
-def get_det_boxes_from_masks(text_score_comb, link_only, textmap,
-                             text_threshold, linkmap_for_chars=None):
+def get_det_boxes_from_masks(text_score_comb, link_only, text_over,
+                             textmap=None, linkmap=None, text_threshold=None):
     """Component loop over precomputed threshold masks.
 
-    Serving ships these masks bit-packed from the device (the f32 heatmap
-    download is the detection bottleneck, ~6x larger); the parity path
-    builds them on host in :func:`get_det_boxes_core` — the loop below is
-    shared and identical.
+    ``text_over`` is the exact ``textmap >= text_threshold`` mask (the
+    reference's per-component ``max(textmap[comp]) < text_threshold`` gate,
+    utils.py:130, is equivalently "no text_over pixel in the component").
+    Serving ships the three masks bit-packed from the device — ~21x
+    smaller than the f32 heatmap download — while the parity path builds
+    them on host in :func:`get_det_boxes_core`; the loop below is shared.
+    ``textmap``/``linkmap`` are only needed for ``estimate_num_chars``.
     """
-    estimate_num_chars = linkmap_for_chars is not None
-    img_h, img_w = textmap.shape
+    estimate_num_chars = textmap is not None and linkmap is not None
+    img_h, img_w = text_score_comb.shape
 
     labels, n_labels = cc_label(text_score_comb.astype(np.uint8), structure=_CROSS)
     slices = find_objects(labels)
@@ -81,7 +88,7 @@ def get_det_boxes_from_masks(text_score_comb, link_only, textmap,
         size = int(local.sum())
         if size < 10:
             continue
-        if np.max(textmap[sl][local]) < text_threshold:
+        if not np.any(text_over[sl][local]):
             continue
 
         y, x = sl[0].start, sl[1].start
@@ -98,7 +105,7 @@ def get_det_boxes_from_masks(text_score_comb, link_only, textmap,
                sl[1].start - sx:sl[1].stop - sx][local] = 255
         if estimate_num_chars:
             character_locs = (
-                (textmap[sl] - linkmap_for_chars[sl]) * local
+                (textmap[sl] - linkmap[sl]) * local
             ) > text_threshold
             _, n_chars = cc_label(character_locs)
             mapper.append(n_chars)

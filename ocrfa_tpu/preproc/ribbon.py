@@ -61,10 +61,15 @@ def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
     alias crop 0 so gathers stay in bounds — callers slice results to
     ``len(crops)``.
 
-    ``wire="u4"`` halves the bytes: pixels are quantized to 4 bits and
-    packed two per byte along the stride axis (rows become (R, stride/2)).
-    Grey text survives 16 levels with negligible CER impact (measured in
-    ``scripts/eval_farsi.py``); use ``"u8"`` when wire exactness matters.
+    Sub-byte wires trade pixel depth for relay bytes (the serving wall —
+    CLAUDE.md); CER impact per mode is measured in ``scripts/eval_farsi.py``:
+
+    * ``"u4"`` — 16 grey levels, 2 px/byte.  Negligible CER impact.
+    * ``"u2"`` — 4 levels, 4 px/byte.
+    * ``"u1"`` — binary (threshold 128), 8 px/byte.  For clean scans /
+      thresholded documents; 8x fewer bytes than u8.
+
+    Use ``"u8"`` when wire exactness matters.
     """
     n = len(crops)
     shapes = []
@@ -75,8 +80,11 @@ def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
         shapes.append(a.shape)
     if stride is None:
         stride = stride_bucket(max((w for _, w in shapes), default=1))
-    if wire == "u4" and stride % 2:
-        stride += 1
+    px_per_byte = _WIRE_PX_PER_BYTE.get(wire)
+    if px_per_byte is None:
+        raise ValueError(f"unknown wire format {wire!r}")
+    if stride % px_per_byte:
+        stride += px_per_byte - stride % px_per_byte
 
     meta = np.zeros((bucket_for_batch(max(n, 1)), 3), dtype=np.int32)
     total_rows = sum(h for h, _ in shapes)
@@ -91,12 +99,18 @@ def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
         meta[k] = off, h, w
         off += h
     meta[n:] = meta[0]
-    if wire == "u4":
-        nibbles = rows >> 4                          # 4-bit quantization
-        rows = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
-    elif wire != "u8":
-        raise ValueError(f"unknown wire format {wire!r}")
+    if wire != "u8":
+        bits = 8 // px_per_byte
+        q = rows >> (8 - bits)  # quantize to `bits` bits
+        # pixel i of each byte sits at bit position i*bits (LSB first)
+        packed = np.zeros((rows.shape[0], stride // px_per_byte), dtype=np.uint8)
+        for i in range(px_per_byte):
+            packed |= q[:, i::px_per_byte] << (i * bits)
+        rows = packed
     return rows, meta
+
+
+_WIRE_PX_PER_BYTE = {"u8": 1, "u4": 2, "u2": 4, "u1": 8}
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w", "wire"))
@@ -108,11 +122,15 @@ def ribbon_to_batch(rows_u8, meta, out_h: int = 64, out_w: int = 256,
     width clamped to the ``out_w`` bucket; replicate-edge right padding via
     coordinate clamping.  Also returns (N,) int32 valid widths.
     """
-    if wire == "u4":
-        # unpack two 4-bit pixels per byte; x17 maps 0..15 back onto 0..255
-        lo = (rows_u8 & 0xF) * jnp.uint8(17)
-        hi = (rows_u8 >> 4) * jnp.uint8(17)
-        rows_u8 = jnp.stack([lo, hi], axis=-1).reshape(rows_u8.shape[0], -1)
+    if wire != "u8":
+        # unpack px-per-byte sub-byte pixels (LSB-first); the scale maps the
+        # quantized range back onto 0..255 (17 for u4, 85 for u2, 255 for u1)
+        px = _WIRE_PX_PER_BYTE[wire]
+        bits = 8 // px
+        mask = (1 << bits) - 1
+        scale = jnp.uint8(255 // mask)
+        parts = [((rows_u8 >> (i * bits)) & mask) * scale for i in range(px)]
+        rows_u8 = jnp.stack(parts, axis=-1).reshape(rows_u8.shape[0], -1)
     stride = rows_u8.shape[1]
     row_off = meta[:, 0]
     src_h = meta[:, 1]

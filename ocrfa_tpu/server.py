@@ -1,0 +1,216 @@
+"""HTTP serving front-end over :class:`ocrfa_tpu.serving.ServingPipeline`.
+
+A production-style streaming server for the device-resident page path
+(stdlib-only, no framework dependency):
+
+* ``POST /ocr`` — request body is an image (PNG/JPEG via PIL, or raw
+  greyscale uint8 with ``X-Height``/``X-Width`` headers).  Responds JSON
+  ``{"results": [{"box": [[x, y] x4], "text": str, "confidence": float}]}``.
+* ``GET /healthz`` — liveness + queue depth.
+
+Requests from concurrent connections are funneled through a single
+dispatcher thread that keeps ``depth`` pages in flight on the device
+(detection for page k+1 overlaps recognition collection for page k), the
+same pipelining discipline as ``ServingPipeline.process``.  The reference
+has no serving layer (library only, ocr.py); this is new TPU-side surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _Job:
+    __slots__ = ("page", "event", "result", "error")
+
+    def __init__(self, page):
+        self.page = page
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class PipelineDispatcher:
+    """Single consumer thread: page queue -> ServingPipeline, depth-pipelined."""
+
+    def __init__(self, pipeline, depth: int = 2, max_queue: int = 64):
+        self.pipeline = pipeline
+        self.depth = depth
+        self.jobs: queue.Queue = queue.Queue(maxsize=max_queue)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, page: np.ndarray, timeout: float | None = 30.0):
+        job = _Job(page)
+        self.jobs.put(job, timeout=1.0)
+        if not job.event.wait(timeout):
+            raise TimeoutError("OCR request timed out")
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def qsize(self) -> int:
+        return self.jobs.qsize()
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def _run(self):
+        inflight: list[tuple[_Job, object]] = []
+        while not self._stop.is_set():
+            try:
+                job = self.jobs.get(timeout=0.05)
+            except queue.Empty:
+                job = None
+            if job is not None:
+                try:
+                    inflight.append((job, self.pipeline.submit_page(job.page)))
+                except Exception as exc:  # malformed page, OOM, ...
+                    job.error = exc
+                    job.event.set()
+            while inflight and (len(inflight) >= self.depth
+                                or (job is None and self.jobs.empty())):
+                j, handle = inflight.pop(0)
+                try:
+                    j.result = self.pipeline.finish_page(handle)
+                except Exception as exc:
+                    j.error = exc
+                j.event.set()
+        for j, handle in inflight:
+            try:
+                j.result = self.pipeline.finish_page(handle)
+            except Exception as exc:
+                j.error = exc
+            j.event.set()
+
+
+def _decode_body(handler) -> np.ndarray:
+    length = int(handler.headers.get("Content-Length", 0))
+    body = handler.rfile.read(length)
+    if handler.headers.get("X-Height") and handler.headers.get("X-Width"):
+        h = int(handler.headers["X-Height"])
+        w = int(handler.headers["X-Width"])
+        if h * w != len(body):
+            raise ValueError(f"raw body is {len(body)} bytes, expected {h * w}")
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body)).convert("L")
+    return np.asarray(img)
+
+
+def make_handler(dispatcher: PipelineDispatcher):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            data = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True, "queued": dispatcher.qsize()})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/ocr":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                page = _decode_body(self)
+                results = dispatcher.submit(page)
+            except Exception as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            self._reply(200, {"results": [
+                {"box": [[int(x), int(y)] for x, y in box],
+                 "text": text, "confidence": float(conf)}
+                for box, text, conf in results
+            ]})
+
+    return Handler
+
+
+class OCRServer:
+    """Threaded HTTP server wrapper; use as a context manager or call
+    ``serve_forever``/``shutdown`` explicitly."""
+
+    def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
+                 depth: int = 2):
+        self.dispatcher = PipelineDispatcher(pipeline, depth=depth)
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(self.dispatcher))
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def shutdown(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.dispatcher.close()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+
+
+def main():  # pragma: no cover - manual entry point
+    import argparse
+
+    import jax
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+    from ocrfa_tpu.models.craft import init_craft
+    from ocrfa_tpu.models.crnn import init_crnn_gen1
+    from ocrfa_tpu.pipeline import Recognizer
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+    from ocrfa_tpu.serving import ServingPipeline
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--canvas-size", type=int, default=1280)
+    ap.add_argument("--depth", type=int, default=2)
+    args = ap.parse_args()
+
+    # random-init models (zoo downloads need egress); swap via checkpoints.*
+    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+    conv = CTCLabelConverter(chars)
+    recognizer = Recognizer(
+        init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes), conv)
+    pipeline = ServingPipeline(init_craft(jax.random.PRNGKey(1)), recognizer,
+                               canvas_size=args.canvas_size)
+    server = OCRServer(pipeline, host=args.host, port=args.port,
+                       depth=args.depth)
+    print(f"serving on http://{args.host}:{server.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -39,11 +39,12 @@ def _packbits(mask):
     return (bits * weights).sum(axis=-1).astype(jnp.uint8)
 
 
-def _seed_detection(heatmaps, low_text, link_threshold):
-    """Device epilogue: threshold masks (bit-packed) + u8 text map.
+def _seed_detection(heatmaps, text_threshold, low_text, link_threshold):
+    """Device epilogue: the three threshold masks, bit-packed.
 
-    Shrinks the per-page detection download ~6x vs f32 heatmaps; the host
-    keeps only the component loop (get_det_boxes_from_masks).
+    Exactly the masks :func:`get_det_boxes_from_masks` consumes — the f32
+    comparisons happen on-device, so the host component loop is bit-exact
+    with the parity path while the download shrinks ~21x vs f32 heatmaps.
     """
     text = heatmaps[..., 0]
     link = heatmaps[..., 1]
@@ -51,8 +52,8 @@ def _seed_detection(heatmaps, low_text, link_threshold):
     link_mask = link > link_threshold
     comb = text_mask | link_mask
     link_only = link_mask & ~text_mask
-    text_u8 = jnp.clip(jnp.round(text * 255.0), 0, 255).astype(jnp.uint8)
-    return _packbits(comb), _packbits(link_only), text_u8
+    text_over = text >= text_threshold
+    return _packbits(comb), _packbits(link_only), _packbits(text_over)
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
@@ -89,39 +90,49 @@ class ServingPipeline:
             detector_params = replicate(detector_params, mesh)
         self.det_params = jax.device_put(detector_params)
 
-        def _detect(params, page_u8, *, canvas_hw):
-            # device-side detector preproc: resize + ImageNet norm + grey->RGB
+        def _detect(params, page_u8, *, target_hw, canvas_hw):
+            # device-side detector preproc: aspect resize + zero-pad to /32
+            # (resize_aspect_ratio semantics) + ImageNet norm + grey->RGB
             page = page_u8.astype(jnp.float32)
-            canvas = jax.image.resize(page, canvas_hw, method="bilinear")
+            resized = jax.image.resize(page, target_hw, method="bilinear")
+            canvas = jnp.zeros(canvas_hw, jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0))
             rgb = jnp.broadcast_to(canvas[..., None], (*canvas_hw, 3))
             x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
             y, _ = craft_apply(params, x[None])
-            return _seed_detection(y[0], self.low_text, self.link_threshold)
+            return _seed_detection(y[0], self.text_threshold, self.low_text,
+                                   self.link_threshold)
 
-        self._detect = jax.jit(_detect, static_argnames=("canvas_hw",))
+        self._detect = jax.jit(_detect, static_argnames=("target_hw", "canvas_hw"))
 
-        def _detect_batch(params, pages_u8, *, canvas_hw):
+        def _detect_batch(params, pages_u8, *, target_hw, canvas_hw):
             n = pages_u8.shape[0]
             pages = pages_u8.astype(jnp.float32)
-            canvas = jax.image.resize(pages, (n, *canvas_hw), method="bilinear")
+            resized = jax.image.resize(pages, (n, *target_hw), method="bilinear")
+            canvas = jnp.zeros((n, *canvas_hw), jnp.float32)
+            canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
             rgb = jnp.broadcast_to(canvas[..., None], (n, *canvas_hw, 3))
             x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
             y, _ = craft_apply(params, x)
-            return _seed_detection(y, self.low_text, self.link_threshold)
+            return _seed_detection(y, self.text_threshold, self.low_text,
+                                   self.link_threshold)
 
-        self._detect_batch = jax.jit(_detect_batch, static_argnames=("canvas_hw",))
+        self._detect_batch = jax.jit(
+            _detect_batch, static_argnames=("target_hw", "canvas_hw"))
 
     def _canvas_hw(self, h: int, w: int):
         target = min(self.canvas_size, max(h, w))
         ratio = target / max(h, w)
-        return (_round32(int(h * ratio)), _round32(int(w * ratio))), ratio
+        th, tw = int(h * ratio), int(w * ratio)
+        return (th, tw), (_round32(th), _round32(tw)), ratio
 
     def submit_page(self, page_grey_u8: np.ndarray):
         """Dispatch device work for one page; returns an opaque handle."""
         h, w = page_grey_u8.shape
-        canvas_hw, ratio = self._canvas_hw(h, w)
+        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         page_dev = self.page_pipe.put_page(page_grey_u8)
-        seeds = self._detect(self.det_params, page_dev, canvas_hw=canvas_hw)
+        seeds = self._detect(self.det_params, page_dev, target_hw=target_hw,
+                             canvas_hw=canvas_hw)
         return (page_dev, seeds, ratio)
 
     def submit_page_batch(self, pages):
@@ -129,30 +140,33 @@ class ServingPipeline:
         mesh when one is configured.  Returns a list of per-page handles."""
         batch = np.stack(pages)
         h, w = batch.shape[1:]
-        canvas_hw, ratio = self._canvas_hw(h, w)
+        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         x = jnp.asarray(batch)
         if self.mesh is not None:
             from ocrfa_tpu.parallel.mesh import shard_batch
 
             x = shard_batch(x, self.mesh)
-        comb, link_only, text_u8 = self._detect_batch(
-            self.det_params, x, canvas_hw=canvas_hw)
+        comb, link_only, text_over = self._detect_batch(
+            self.det_params, x, target_hw=target_hw, canvas_hw=canvas_hw)
         # pages stay device-resident; recognition slices reuse them
-        return [(x[i], (comb[i], link_only[i], text_u8[i]), ratio)
+        return [(x[i], (comb[i], link_only[i], text_over[i]), ratio)
                 for i in range(len(pages))]
+
+    def detect_boxes(self, handle):
+        """Detection seeds -> page-space quad boxes (pre-grouping)."""
+        _page_dev, (comb_p, link_p, over_p), ratio = handle
+        comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
+        link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
+        text_over = np.unpackbits(np.asarray(over_p), axis=-1).astype(bool)
+        boxes, _, _ = get_det_boxes_from_masks(comb, link_only, text_over)
+        inv = 1.0 / ratio
+        return adjust_result_coordinates(boxes, inv, inv)
 
     def finish_page(self, handle):
         """Detection seeds -> boxes -> batched recognition; returns
         [(box, text, confidence), ...]."""
-        page_dev, (comb_p, link_p, text_u8), ratio = handle
-        comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
-        link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
-        text = np.asarray(text_u8).astype(np.float32) / 255.0
-        boxes, _, _ = get_det_boxes_from_masks(
-            comb, link_only, text, self.text_threshold,
-        )
-        inv = 1.0 / ratio
-        boxes = adjust_result_coordinates(boxes, inv, inv)
+        page_dev = handle[0]
+        boxes = self.detect_boxes(handle)
         polys = [np.array(b).astype(np.int32).reshape(-1) for b in boxes]
         horizontal, _free = group_text_box(polys)
         if self.min_size:

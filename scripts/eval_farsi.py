@@ -54,43 +54,26 @@ def sample_texts(rng, charset, n, min_len=2, max_len=9):
             for _ in range(n)]
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--train-pool", type=int, default=20, help="distinct device-resident batches")
-    ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--eval-lines", type=int, default=256)
-    ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
-    ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
-    args = ap.parse_args()
+def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
+               glyph_w=24, seed=0, verbose=True):
+    """Render synthetic Farsi lines and CTC-train a gen1 CRNN.
 
-    from ocrfa_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
+    Returns ``(params, conv, font, loss, calib_batches)`` with BN running
+    stats calibrated for inference mode.  Shared by eval_farsi (line-level
+    cross-framework eval) and eval_pages (page-level serving-path eval).
+    """
     import jax
     import jax.numpy as jnp
 
     from ocrfa_tpu.decode import CTCLabelConverter
-    from ocrfa_tpu.decode.device import keep_mask_for
-    from ocrfa_tpu.eval import cer
     from ocrfa_tpu.models.crnn import crnn_apply, init_crnn_gen1
-    from ocrfa_tpu.pipeline import Recognizer, get_text
-    from ocrfa_tpu.registry import RECOGNITION_MODELS
     from ocrfa_tpu.train import calibrate_bn_stats, make_optimizer, make_train_step
 
-    glyph_w = 24
-    if args.small:
-        charset = "ابتثجچحخد"
-        oc = hs = 64
-    else:
-        charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
-        oc = hs = 512
     conv = CTCLabelConverter(charset)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     font = make_font(charset, rng, glyph_w)
 
-    # ---- train on device-resident batches (uploaded once) -----------------
+    # train on device-resident batches (uploaded once)
     width = glyph_w * 9 + 8  # widest training line + slack
     width = -(-width // 64) * 64
 
@@ -109,8 +92,8 @@ def main():
         norm = ((images.astype(np.float32) / 255.0) - 0.5) / 0.5
         return norm, labels, lengths
 
-    pool = [render_batch(sample_texts(rng, charset, args.batch))
-            for _ in range(args.train_pool)]
+    pool = [render_batch(sample_texts(rng, charset, batch))
+            for _ in range(train_pool)]
     max_l = max(b[1].shape[1] for b in pool)
     pool = [(jax.device_put(jnp.asarray(im)),
              jax.device_put(jnp.asarray(np.pad(lb, ((0, 0), (0, max_l - lb.shape[1]))))),
@@ -124,18 +107,60 @@ def main():
 
     t0 = time.time()
     loss = float("nan")
-    for i in range(args.steps):
+    for i in range(steps):
         im, lb, ln = pool[i % len(pool)]
         params, state, loss = step(params, state, im, lb, ln)
-        if i % 100 == 0:
+        if verbose and i % 100 == 0:
             print(f"step {i:4d}  loss {float(loss):8.4f}  ({time.time()-t0:.0f}s)",
                   flush=True)
-    print(f"trained {args.steps} steps, final loss {float(loss):.4f}")
+    if verbose:
+        print(f"trained {steps} steps, final loss {float(loss):.4f}")
 
     # inference-mode BN: write calibrated running stats
     params = calibrate_bn_stats(
         params, lambda p, b: crnn_apply(p, b), [np.asarray(b[0][:32]) for b in pool[:4]]
     )
+    return params, conv, font, loss, [np.asarray(b[0]) for b in pool[:2]]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--train-pool", type=int, default=20, help="distinct device-resident batches")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--eval-lines", type=int, default=256)
+    ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the axon plugin overrides "
+                         "JAX_PLATFORMS, so an env var is not enough)")
+    ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from ocrfa_tpu.decode.device import keep_mask_for
+    from ocrfa_tpu.eval import cer
+    from ocrfa_tpu.pipeline import Recognizer, get_text
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+
+    glyph_w = 24
+    if args.small:
+        charset = "ابتثجچحخد"
+        oc = hs = 64
+    else:
+        charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+        oc = hs = 512
+    params, conv, font, loss, calib_batches = train_gen1(
+        charset, steps=args.steps, train_pool=args.train_pool,
+        batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w)
+    rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
     eval_texts = sample_texts(rng, charset, args.eval_lines)
@@ -161,15 +186,17 @@ def main():
     lat = np.array(lat)
 
     # ---- serving fast path: ribbon wire + static int8 ---------------------
-    calib = pool[0][0][:64]
     fast = Recognizer(params, conv, quantized="static",
-                      calibration_batches=[np.asarray(calib)])
+                      calibration_batches=[calib_batches[0][:64]])
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
     fast_res = fast.collect(fast.predict_ribbon_async(crops, keep, out_w=max_width))
     fast_texts = [t for t, _ in fast_res]
     fast4_res = fast.collect(
         fast.predict_ribbon_async(crops, keep, out_w=max_width, wire="u4"))
     fast4_texts = [t for t, _ in fast4_res]
+    fast1_res = fast.collect(
+        fast.predict_ribbon_async(crops, keep, out_w=max_width, wire="u1"))
+    fast1_texts = [t for t, _ in fast1_res]
 
     # ---- reference torch pipeline on the exported weights -----------------
     import torch
@@ -206,6 +233,7 @@ def main():
         "cer_serving_int8_vs_truth": round(cer(fast_texts, eval_texts), 6),
         "cer_serving_int8_vs_reference": round(cer(fast_texts, ref_texts), 6),
         "cer_serving_int8_u4wire_vs_truth": round(cer(fast4_texts, eval_texts), 6),
+        "cer_serving_int8_u1wire_vs_truth": round(cer(fast1_texts, eval_texts), 6),
         "latency_ms_p50_single_line": round(float(np.percentile(lat, 50)), 2),
         "latency_ms_p95_single_line": round(float(np.percentile(lat, 95)), 2),
     }

@@ -168,3 +168,38 @@ class TestU4Wire:
         crops = [rng.integers(0, 255, (32, 48), dtype=np.uint8) for _ in range(3)]
         out = rec.collect(rec.predict_ribbon_async(crops, keep, out_w=128, wire="u4"))
         assert len(out) == 3 and all(isinstance(t, str) for t, _ in out)
+
+
+class TestSubByteWires:
+    def _roundtrip(self, wire, px_per_byte, max_err):
+        rng = np.random.default_rng(8)
+        crop = rng.integers(0, 255, (32, 40), dtype=np.uint8)
+        rows8, meta8 = pack_crops([crop], wire="u8")
+        rowsN, metaN = pack_crops([crop], wire=wire)
+        assert rowsN.shape[1] * px_per_byte >= rows8.shape[1]
+        np.testing.assert_array_equal(np.asarray(metaN), np.asarray(meta8))
+        out8, _ = ribbon_to_batch(rows8, meta8, out_w=128, wire="u8")
+        outN, _ = ribbon_to_batch(rowsN, metaN, out_w=128, wire=wire)
+        err = np.abs(np.asarray(outN) - np.asarray(out8)).max()
+        assert err <= max_err + 1e-6, err
+
+    def test_u2_roundtrip(self):
+        # 2-bit pixels: max quantization error 63/255 pre-normalisation
+        self._roundtrip("u2", 4, 2 * 63 / 255)
+
+    def test_u1_roundtrip(self):
+        self._roundtrip("u1", 8, 2.0)  # binary: only gross shape survives
+
+    def test_u1_exact_for_binary_content(self):
+        rng = np.random.default_rng(9)
+        crop = (rng.random((32, 64)) > 0.5).astype(np.uint8) * 255
+        out8, _ = ribbon_to_batch(*pack_crops([crop], wire="u8"), out_w=128, wire="u8")
+        out1, _ = ribbon_to_batch(*pack_crops([crop], wire="u1"), out_w=128, wire="u1")
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out8), atol=1e-6)
+
+    def test_u2_exact_for_4level_content(self):
+        rng = np.random.default_rng(10)
+        crop = (rng.integers(0, 4, (32, 64), dtype=np.uint8) * 85).astype(np.uint8)
+        out8, _ = ribbon_to_batch(*pack_crops([crop], wire="u8"), out_w=128, wire="u8")
+        out2, _ = ribbon_to_batch(*pack_crops([crop], wire="u2"), out_w=128, wire="u2")
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out8), atol=1e-6)

@@ -93,8 +93,8 @@ class TestDetectionSeeding:
         )
 
     def test_seeded_boxes_match_f32_path(self):
-        """Bit-packed masks + u8 textmap give the same components/boxes as
-        the full-precision host path on quantization-safe heatmaps."""
+        """The three bit-packed device masks reproduce the host component
+        loop bit-exactly (the comparisons happen in f32 on device)."""
         import jax.numpy as jnp
 
         from ocrfa_tpu.geometry.craft_post import (
@@ -104,18 +104,18 @@ class TestDetectionSeeding:
         from ocrfa_tpu.serving import _seed_detection
 
         rng = np.random.default_rng(1)
-        # heatmap values quantized to /255 so u8 transport is lossless here
-        text = (rng.integers(0, 256, (64, 96)) / 255.0).astype(np.float32)
-        link = (rng.integers(0, 256, (64, 96)) / 255.0).astype(np.float32)
+        text = rng.random((64, 96), dtype=np.float32)
+        link = rng.random((64, 96), dtype=np.float32)
 
         ref_boxes, _, _ = get_det_boxes(text, link, 0.7, 0.4, 0.4)
 
-        comb_p, link_p, text_u8 = _seed_detection(
-            jnp.stack([jnp.asarray(text), jnp.asarray(link)], axis=-1), 0.4, 0.4)
+        comb_p, link_p, over_p = _seed_detection(
+            jnp.stack([jnp.asarray(text), jnp.asarray(link)], axis=-1),
+            0.7, 0.4, 0.4)
         comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
         link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
-        got_boxes, _, _ = get_det_boxes_from_masks(
-            comb, link_only, np.asarray(text_u8).astype(np.float32) / 255.0, 0.7)
+        text_over = np.unpackbits(np.asarray(over_p), axis=-1).astype(bool)
+        got_boxes, _, _ = get_det_boxes_from_masks(comb, link_only, text_over)
 
         assert len(got_boxes) == len(ref_boxes)
         for a, b in zip(got_boxes, ref_boxes):
