@@ -36,6 +36,7 @@ class _Beam:
     p_total: float = 0.0
     p_text: float = 1.0
     labeling: tuple = ()
+    lm_applied: bool = False
 
 
 def simplify_label(labeling: tuple, blank: int = BLANK) -> tuple:
@@ -101,11 +102,19 @@ def ctc_beam_search(
     beam_width: int = 25,
     dict_list=(),
     max_candidates: int = 20,
+    lm=None,
+    lm_factor: float = 0.01,
 ) -> str:
     """Decode a ``(T, C)`` probability matrix to text via prefix beam search.
 
     Parity with ``ctcBeamSearch`` (utils.py:949-1038); ``dict_list`` enables
     the dictionary re-ranking used by word-beam-search (utils.py:853-872).
+
+    ``lm`` activates the reference's dormant ``applyLM`` slot
+    (utils.py:875-883): each beam extension multiplies ``p_text`` by
+    ``lm.getCharBigram(prev_char, new_char) ** lm_factor`` once, and scores
+    are length-normalised at the end.  Any object with that method works —
+    see :class:`ocrfa_tpu.decode.lm.CharBigramLM`.
     """
     max_t, max_c = mat.shape
     prune = 0.5 / max_c
@@ -145,6 +154,19 @@ def ctc_beam_search(
                     new_entry = curr[new_labeling] = _Beam(labeling=new_labeling)
                 new_entry.p_non_blank += p_nb
                 new_entry.p_total += p_nb
+                if lm is not None and not new_entry.lm_applied:
+                    # applyLM contract (utils.py:875-883): child inherits the
+                    # parent text score times the bigram prob of the new char;
+                    # blank extensions just carry the parent score forward
+                    if c != BLANK:
+                        prev_c = (classes[labeling[-1]]
+                                  if labeling and labeling[-1] != BLANK else "")
+                        new_entry.p_text = (
+                            beam.p_text
+                            * lm.getCharBigram(prev_c, classes[int(c)]) ** lm_factor)
+                    else:
+                        new_entry.p_text = beam.p_text
+                    new_entry.lm_applied = True
 
         last = curr
 

@@ -38,7 +38,8 @@ def _logaddexp(a, b):
     return jnp.where(mx <= NEG_INF / 2, NEG_INF, safe)
 
 
-def _beam_step(state, logp, beam_width: int, topk: int, max_t: int):
+def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
+               lm_log=None, lm_factor: float = 0.0):
     prefix, length, h1, h2, pb, pnb = state
     b = beam_width
     k = topk
@@ -60,6 +61,11 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int):
     lp_c = jnp.broadcast_to(top_vals[None, :], (b, k))
     same_as_last = has_char[:, None] & (c == last[:, None])
     ext_pnb = jnp.where(same_as_last, pb[:, None] + lp_c, ptot[:, None] + lp_c)
+    if lm_log is not None:
+        # shallow fusion: bias every extension by the char-bigram log prior
+        # (row 0 = start-of-text context; `last` is 0 for empty prefixes)
+        ctx = jnp.where(has_char, last, 0)
+        ext_pnb = ext_pnb + lm_factor * lm_log[ctx[:, None], c]
     ext_pb = jnp.full((b, k), NEG_INF)
 
     # flatten candidates: B stays then B*K extends
@@ -137,12 +143,18 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int):
     return (new_prefix, new_length, new_h1, new_h2, new_pb, new_pnb), None
 
 
-@partial(jax.jit, static_argnames=("beam_width", "topk"))
-def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8):
+@partial(jax.jit, static_argnames=("beam_width", "topk", "lm_factor"))
+def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
+                           lm_log=None, lm_factor: float = 0.3):
     """Batch CTC beam decode.
 
     Args:
       log_probs: (N, T, C) log probabilities (blank = class 0).
+      lm_log: optional (C, C) ``log P(col | row)`` char-bigram matrix
+        (:meth:`ocrfa_tpu.decode.lm.CharBigramLM.log_matrix`); every beam
+        extension is biased by ``lm_factor * lm_log[prev, c]`` inside the
+        scan (shallow fusion — the TPU analog of the reference's dormant
+        applyLM slot, utils.py:875-883).
 
     Returns ``(prefixes, lengths, scores)``: best-first collapsed label
     sequences ``(N, B, T)`` with valid ``lengths (N, B)`` and total log
@@ -160,7 +172,8 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8):
         pb = jnp.full((b,), NEG_INF).at[0].set(0.0)
         pnb = jnp.full((b,), NEG_INF)
 
-        step = partial(_beam_step, beam_width=b, topk=topk, max_t=t)
+        step = partial(_beam_step, beam_width=b, topk=topk, max_t=t,
+                       lm_log=lm_log, lm_factor=lm_factor)
         (prefix, length, _, _, pb, pnb), _ = jax.lax.scan(
             step, (prefix, length, h1, h2, pb, pnb), row
         )
