@@ -39,6 +39,11 @@ def _load():
     lib.trace_boundary.restype = ci
     lib.min_area_rect.argtypes = [f64p, ci, f64p, f64p]
     lib.min_area_rect.restype = None
+    lib.deform_psroi_pool.argtypes = (
+        [f32p, f32p, ctypes.c_void_p, f32p]
+        + [ci] * 5 + [ctypes.c_float] + [ci] * 3
+        + [ctypes.c_float] + [ci] * 3)
+    lib.deform_psroi_pool.restype = None
     _lib = lib
     return _lib
 
@@ -60,6 +65,35 @@ def dcn_forward_native(x, offset, mask, w, stride=1, padding=1, dilation=1):
         np.ascontiguousarray(mask, np.float32),
         np.ascontiguousarray(w, np.float32),
         out, n, h, wid, cin, ho, wo, kh, kw, cout, stride, padding, dilation,
+    )
+    return out
+
+
+def deform_psroi_pool_native(x, rois, trans=None, *, spatial_scale=1.0,
+                             pooled_size=7, output_dim=None,
+                             sample_per_part=2, trans_std=0.0, no_trans=True,
+                             part_size=None, group_size=1):
+    """Deformable PS-RoI pooling on host — C++ twin of
+    :func:`ocrfa_tpu.ops.deform_pool.deform_roi_pool` (same NHWC semantics;
+    reference native kernel: dcn/src/deform_pool_cpu_kernel.cpp:52-131)."""
+    lib = _load()
+    n, h, w, c = x.shape
+    r = rois.shape[0]
+    output_dim = output_dim or c
+    part_size = part_size or pooled_size
+    p = pooled_size
+    out = np.zeros((r, p, p, output_dim), dtype=np.float32)
+    if trans is None or no_trans:
+        trans_ptr = None
+    else:
+        trans_arr = np.ascontiguousarray(trans, np.float32)
+        trans_ptr = trans_arr.ctypes.data_as(ctypes.c_void_p)
+    lib.deform_psroi_pool(
+        np.ascontiguousarray(x, np.float32),
+        np.ascontiguousarray(rois, np.float32),
+        trans_ptr, out, n, h, w, c, r, float(spatial_scale), p, output_dim,
+        sample_per_part, float(trans_std), int(no_trans or trans is None),
+        part_size, group_size,
     )
     return out
 

@@ -111,6 +111,77 @@ void dcn_forward(const float* x, const float* offset, const float* mask,
   }
 }
 
+// Deformable PS-RoI pooling forward, NHWC — CPU twin of the XLA op
+// (ocrfa_tpu/ops/deform_pool.py; reference native kernel semantics:
+// DBNet/assets/ops/dcn/src/deform_pool_cpu_kernel.cpp:52-131).
+// x: (n,h,w,c), rois: (r,5) [batch,x1,y1,x2,y2],
+// trans: (r,part,part,2) [dy,dx] or nullptr, out: (r,p,p,od).
+void deform_psroi_pool(const float* x, const float* rois, const float* trans,
+                       float* out, int n, int h, int w, int c, int r,
+                       float spatial_scale, int p, int od, int s,
+                       float trans_std, int no_trans, int part, int g) {
+  (void)n;
+  std::vector<float> acc(od);
+  for (int ri = 0; ri < r; ++ri) {
+    const float* roi = rois + static_cast<int64_t>(ri) * 5;
+    const int bi = static_cast<int>(roi[0]);
+    const float x1 = std::round(roi[1]) * spatial_scale - 0.5f;
+    const float y1 = std::round(roi[2]) * spatial_scale - 0.5f;
+    const float x2 = (std::round(roi[3]) + 1.f) * spatial_scale - 0.5f;
+    const float y2 = (std::round(roi[4]) + 1.f) * spatial_scale - 0.5f;
+    const float rw = std::max(x2 - x1, 0.1f);
+    const float rh = std::max(y2 - y1, 0.1f);
+    const float bw = rw / p, bh = rh / p;
+    const float sw = bw / s, sh = bh / s;
+    const float* xb = x + static_cast<int64_t>(bi) * h * w * c;
+    for (int iy = 0; iy < p; ++iy) {
+      for (int ix = 0; ix < p; ++ix) {
+        float oy = 0.f, ox = 0.f;
+        if (!no_trans && trans) {
+          const int py = iy * part / p, px = ix * part / p;
+          const int64_t t0 =
+              ((static_cast<int64_t>(ri) * part + py) * part + px) * 2;
+          oy = trans[t0] * trans_std;
+          ox = trans[t0 + 1] * trans_std;
+        }
+        const int cpg = (g > 1) ? c / (g * g) : od;
+        const int ch0 =
+            (g > 1) ? ((iy * g / p) * g + (ix * g / p)) * cpg : 0;
+        std::fill(acc.begin(), acc.end(), 0.f);
+        for (int syi = 0; syi < s; ++syi) {
+          for (int sxi = 0; sxi < s; ++sxi) {
+            const float yy = y1 + iy * bh + oy * rh + (syi + 0.5f) * sh;
+            const float xx = x1 + ix * bw + ox * rw + (sxi + 0.5f) * sw;
+            if (yy <= -1.f || yy >= h || xx <= -1.f || xx >= w) continue;
+            const float cy = std::min(std::max(yy, 0.f), float(h - 1));
+            const float cx = std::min(std::max(xx, 0.f), float(w - 1));
+            const int y0 = static_cast<int>(std::floor(cy));
+            const int x0 = static_cast<int>(std::floor(cx));
+            const float fy = cy - y0, fx = cx - x0;
+            const int y1c = std::min(y0 + 1, h - 1);
+            const int x1c = std::min(x0 + 1, w - 1);
+            const float w00 = (1 - fy) * (1 - fx), w01 = (1 - fy) * fx;
+            const float w10 = fy * (1 - fx), w11 = fy * fx;
+            const float* r00 = xb + (static_cast<int64_t>(y0) * w + x0) * c;
+            const float* r01 = xb + (static_cast<int64_t>(y0) * w + x1c) * c;
+            const float* r10 = xb + (static_cast<int64_t>(y1c) * w + x0) * c;
+            const float* r11 = xb + (static_cast<int64_t>(y1c) * w + x1c) * c;
+            for (int o = 0; o < od; ++o) {
+              const int ch = ch0 + o;
+              acc[o] += w00 * r00[ch] + w01 * r01[ch] + w10 * r10[ch] +
+                        w11 * r11[ch];
+            }
+          }
+        }
+        float* dst =
+            out + ((static_cast<int64_t>(ri) * p + iy) * p + ix) * od;
+        const float inv = 1.f / (s * s);
+        for (int o = 0; o < od; ++o) dst[o] = acc[o] * inv;
+      }
+    }
+  }
+}
+
 // Connected components; labels get first-encounter raster order (1..n).
 // Returns the number of components.
 int cc_label(const uint8_t* img, int h, int w, int connectivity,

@@ -93,3 +93,41 @@ class TestNativeMinRect:
             na = sorted(map(tuple, np.round(nb, 3)))
             pa = sorted(map(tuple, np.round(pb, 3)))
             np.testing.assert_allclose(na, pa, atol=1e-2)
+
+
+class TestDeformPSRoIPoolNative:
+    """C++ twin vs the XLA op (ops/deform_pool.py) — same NHWC semantics."""
+
+    def _compare(self, no_trans, group_size, trans_std=0.1):
+        import jax
+
+        from ocrfa_tpu.ops.deform_pool import deform_roi_pool
+        from ocrfa_tpu.runtime.native import available, deform_psroi_pool_native
+
+        if not available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        n, h, w, c = 2, 24, 32, 16
+        x = rng.standard_normal((n, h, w, c), dtype=np.float32)
+        rois = np.array([
+            [0, 2.0, 3.0, 20.0, 18.0],
+            [1, 0.0, 0.0, 30.0, 22.0],
+            [0, 5.0, 5.0, 9.0, 9.0],
+        ], dtype=np.float32)
+        p = 4
+        trans = rng.standard_normal((3, p, p, 2), dtype=np.float32)
+        kw = dict(spatial_scale=0.5, pooled_size=p, output_dim=4,
+                  sample_per_part=2, trans_std=trans_std,
+                  no_trans=no_trans, group_size=group_size)
+        ours = np.asarray(deform_roi_pool(x, rois, trans, **kw))
+        native = deform_psroi_pool_native(x, rois, trans, **kw)
+        np.testing.assert_allclose(native, ours, atol=1e-5, rtol=1e-5)
+
+    def test_plain_average(self):
+        self._compare(no_trans=True, group_size=1)
+
+    def test_with_trans_offsets(self):
+        self._compare(no_trans=False, group_size=1)
+
+    def test_position_sensitive_groups(self):
+        self._compare(no_trans=False, group_size=2)
