@@ -415,8 +415,17 @@ def save_pytree(path: str, pytree) -> None:
     ckptr.wait_until_finished()
 
 
-def load_pytree(path: str):
+def load_pytree(path: str, like=None):
+    """Restore a pytree; ``like`` restores into that structure (needed for
+    optax NamedTuple states, which otherwise come back as plain dicts)."""
     import orbax.checkpoint as ocp
 
+    import jax
+    import jax.numpy as jnp
+
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    if like is None:
+        return ckptr.restore(path)
+    like = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), like)
+    return ckptr.restore(path, like)

@@ -60,6 +60,67 @@ def make_optimizer(learning_rate: float = 1e-3):
     return optax.adam(learning_rate)
 
 
+def make_trocr_train_step(optimizer, heads: int = 8):
+    """Jitted teacher-forced cross-entropy step for the TrOCR recognizer.
+
+    Same dp discipline as :func:`make_train_step`: shard the batch, keep
+    params replicated, XLA inserts the gradient psum.
+    """
+    from ocrfa_tpu.models.trocr import trocr_loss
+
+    @jax.jit
+    def train_step(params, opt_state, images, tokens_in, tokens_out):
+        loss, grads = jax.value_and_grad(trocr_loss)(
+            params, images, tokens_in, tokens_out, heads)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    return train_step
+
+
+def make_trocr_optimizer(learning_rate: float = 3e-4, warmup_steps: int = 200,
+                         total_steps: int = 10_000,
+                         weight_decay: float = 0.01):
+    """AdamW + linear-warmup cosine decay — the standard transformer
+    pretraining schedule (the CTC path keeps plain Adam for parity)."""
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1))
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+
+
+def ctc_labels_to_trocr_tokens(labels, lengths, max_len: int | None = None):
+    """(N, L) CTC label ids (0 = blank) -> teacher-forced decoder tokens.
+
+    Returns ``(tokens_in, tokens_out)``: BOS-prefixed inputs and
+    EOS-terminated targets, PAD-filled.  CTC id ``i`` (charset index i-1)
+    maps to decoder token ``i - 1 + NUM_SPECIAL``.
+    """
+    import numpy as np
+
+    from ocrfa_tpu.models.trocr import BOS, EOS, NUM_SPECIAL, PAD
+
+    labels = np.asarray(labels)
+    lengths = np.asarray(lengths)
+    n, l = labels.shape
+    t = (max_len or l) + 1
+    tokens_in = np.full((n, t), PAD, dtype=np.int32)
+    tokens_out = np.full((n, t), PAD, dtype=np.int32)
+    tokens_in[:, 0] = BOS
+    for i in range(n):
+        k = int(lengths[i])
+        toks = labels[i, :k] - 1 + NUM_SPECIAL
+        tokens_in[i, 1:k + 1] = toks
+        tokens_out[i, :k] = toks
+        tokens_out[i, k] = EOS
+    return tokens_in, tokens_out
+
+
 def calibrate_bn_stats(params, apply_fn, batches, momentum: float | None = None):
     """Post-training BN calibration: write batch statistics into the
     running ``mean``/``var`` slots so the trained model can run in

@@ -77,8 +77,13 @@ class CheckpointManager:
             return None
         return int(open(marker).read().strip())
 
-    def restore(self, step: int | None = None):
-        """Returns ``(step, params, opt_state)`` or None if no snapshot."""
+    def restore(self, step: int | None = None, params_like=None,
+                opt_state_like=None):
+        """Returns ``(step, params, opt_state)`` or None if no snapshot.
+
+        Pass ``opt_state_like`` (e.g. a freshly-initialised optimizer state)
+        when the optimizer state contains NamedTuples — Orbax needs the
+        structure template to rebuild them."""
         from ocrfa_tpu.checkpoints import load_pytree
 
         step = step if step is not None else self.latest_step()
@@ -89,8 +94,8 @@ class CheckpointManager:
             return None  # e.g. garbage-collected snapshot
         return (
             step,
-            load_pytree(os.path.join(d, "params")),
-            load_pytree(os.path.join(d, "opt_state")),
+            load_pytree(os.path.join(d, "params"), like=params_like),
+            load_pytree(os.path.join(d, "opt_state"), like=opt_state_like),
         )
 
     def _gc(self) -> None:

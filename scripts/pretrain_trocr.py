@@ -1,0 +1,164 @@
+"""TrOCR pretraining recipe: synthetic Farsi lines -> transformer recognizer.
+
+BASELINE.json config 4 ("TrOCR-style transformer encoder-decoder Farsi
+recognition, autoregressive on-device decode") end to end:
+
+1. stream synthetic Farsi line batches (``data.SyntheticFarsiLines`` +
+   thread prefetch) — swap in a real corpus by yielding the same
+   ``(images, labels, lengths, texts)`` tuples;
+2. teacher-forced cross-entropy training (AdamW, warmup-cosine, grad
+   clip) with dp sharding over a device mesh when more than one device
+   is visible;
+3. periodic Orbax snapshots with resume-from-latest
+   (``utils.resilience.CheckpointManager``);
+4. periodic CER eval via the KV-cached autoregressive ``greedy_generate``.
+
+Usage:
+  python scripts/pretrain_trocr.py [--steps 2000] [--small] [--cpu]
+      [--ckpt-dir /tmp/trocr_ckpt]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--eval-every", type=int, default=500)
+    ap.add_argument("--eval-lines", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--d-model", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny model + charset (CPU smoke)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (axon overrides JAX_PLATFORMS)")
+    ap.add_argument("--ckpt-dir", type=str, default=None)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ocrfa_tpu.data import Prefetcher, SyntheticFarsiLines
+    from ocrfa_tpu.eval import cer
+    from ocrfa_tpu.models.trocr import (
+        greedy_generate,
+        init_trocr,
+        tokens_to_text,
+    )
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+    from ocrfa_tpu.train import (
+        ctc_labels_to_trocr_tokens,
+        make_trocr_optimizer,
+        make_trocr_train_step,
+    )
+    from ocrfa_tpu.utils.resilience import CheckpointManager
+
+    if args.small:
+        charset = "ابتثجچحخد"
+        d_model, layers, heads = 64, 2, 4
+    else:
+        charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+        d_model, layers, heads = args.d_model, args.layers, 8
+    num_class = len(charset) + 1  # CTC-style count (blank + chars)
+
+    data = SyntheticFarsiLines(charset, batch_size=args.batch,
+                               width=args.width, seed=0)
+    eval_data = SyntheticFarsiLines(charset, batch_size=args.eval_lines,
+                                    width=args.width, seed=10_000)
+    max_label = data.max_len
+
+    params = init_trocr(jax.random.PRNGKey(0), num_class=num_class,
+                        d_model=d_model, heads=heads, enc_layers=layers,
+                        dec_layers=layers)
+    opt = make_trocr_optimizer(args.lr, warmup_steps=min(200, args.steps // 10 + 1),
+                               total_steps=args.steps)
+    opt_state = opt.init(params)
+    step_fn = make_trocr_train_step(opt, heads=heads)
+
+    # dp sharding over every visible device
+    mesh = None
+    if len(jax.devices()) > 1:
+        from ocrfa_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+        mesh = create_mesh(jax.devices())
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        print(f"dp over {len(jax.devices())} devices")
+
+    ckpt = CheckpointManager(args.ckpt_dir, every_steps=max(args.steps // 4, 1),
+                             keep=2) if args.ckpt_dir else None
+    start = 0
+    if ckpt is not None:
+        restored = ckpt.restore(params_like=params, opt_state_like=opt_state)
+        if restored is not None:
+            start, params, opt_state = restored
+            print(f"resumed from step {start}")
+
+    def shard(x):
+        if mesh is None:
+            return jnp.asarray(x)
+        return shard_batch(np.asarray(x), mesh)
+
+    history = []
+    t0 = time.time()
+    stream = iter(Prefetcher(iter(data), depth=2))
+    loss = float("nan")
+    for step in range(start, args.steps):
+        images, labels, lengths, _ = next(stream)
+        tokens_in, tokens_out = ctc_labels_to_trocr_tokens(
+            labels, lengths, max_len=max_label)
+        params, opt_state, loss = step_fn(
+            params, opt_state, shard(images), shard(tokens_in),
+            shard(tokens_out))
+        if step % 100 == 0:
+            print(f"step {step:5d}  loss {float(loss):7.4f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if ckpt is not None:
+            ckpt.maybe_save(step + 1, params, opt_state)
+        if (step + 1) % args.eval_every == 0 or step + 1 == args.steps:
+            images, _, _, texts = eval_data.batch()
+            toks, lens = greedy_generate(params, jnp.asarray(images),
+                                         heads=heads, max_len=max_label + 2)
+            hyp = tokens_to_text(np.asarray(toks), np.asarray(lens),
+                                 [""] + list(charset))
+            e = cer(hyp, texts)
+            history.append({"step": step + 1, "loss": float(loss), "cer": e})
+            print(f"eval @ {step + 1}: CER {e:.4f}", flush=True)
+
+    metrics = {
+        "model": f"trocr d{d_model} x{layers}L, {len(charset)}-char charset",
+        "steps": args.steps,
+        "final_loss": round(float(loss), 4),
+        "history": history,
+        "final_cer": history[-1]["cer"] if history else None,
+    }
+    print(json.dumps(metrics))
+    if args.out:
+        Path(args.out).write_text(json.dumps(metrics, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,3 +120,22 @@ class TestDetectionSeeding:
         assert len(got_boxes) == len(ref_boxes)
         for a, b in zip(got_boxes, ref_boxes):
             np.testing.assert_allclose(a, b)
+
+
+class TestMultichipServeScript:
+    def test_runs_on_virtual_mesh(self, tmp_path):
+        import json
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        import serve_multichip
+
+        out = tmp_path / "m.json"
+        rc = serve_multichip.main([
+            "--pages", "8", "--page-size", "128", "--batch", "8",
+            "--out", str(out)])
+        assert rc == 0
+        m = json.loads(out.read_text())
+        assert m["pages"] == 8 and m["devices"] == 8
+        assert m["pages_per_sec"] > 0

@@ -84,3 +84,46 @@ class TestTrOCR:
         tokens = np.array([[3, 4, 2, 2], [5, 2, 2, 2]])
         lengths = np.array([2, 1])
         assert trocr.tokens_to_text(tokens, lengths, chars) == ["ab", "c"]
+
+
+class TestPretrainRecipe:
+    def test_recipe_smoke_and_resume(self, tmp_path):
+        """Two short runs: train + snapshot, then resume from the snapshot."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        import pretrain_trocr
+
+        ckpt = str(tmp_path / "ckpt")
+        out = tmp_path / "m.json"
+        rc = pretrain_trocr.main([
+            "--small", "--steps", "4", "--batch", "4", "--width", "128",
+            "--eval-every", "4", "--eval-lines", "4",
+            "--ckpt-dir", ckpt, "--out", str(out)])
+        assert rc == 0
+        import json
+
+        m = json.loads(out.read_text())
+        assert m["steps"] == 4 and m["final_cer"] is not None
+
+        # resume picks up the saved step and continues to 6
+        rc = pretrain_trocr.main([
+            "--small", "--steps", "6", "--batch", "4", "--width", "128",
+            "--eval-every", "6", "--eval-lines", "4",
+            "--ckpt-dir", ckpt, "--out", str(out)])
+        assert rc == 0
+
+    def test_ctc_to_trocr_tokens(self):
+        import numpy as np
+
+        from ocrfa_tpu.models.trocr import BOS, EOS, PAD
+        from ocrfa_tpu.train import ctc_labels_to_trocr_tokens
+
+        labels = np.array([[1, 2, 0], [3, 0, 0]], dtype=np.int32)
+        lengths = np.array([2, 1], dtype=np.int32)
+        tin, tout = ctc_labels_to_trocr_tokens(labels, lengths)
+        np.testing.assert_array_equal(tin[0], [BOS, 3, 4, PAD])
+        np.testing.assert_array_equal(tout[0], [3, 4, EOS, PAD])
+        np.testing.assert_array_equal(tin[1], [BOS, 5, PAD, PAD])
+        np.testing.assert_array_equal(tout[1], [5, EOS, PAD, PAD])
