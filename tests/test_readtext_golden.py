@@ -279,3 +279,48 @@ class TestReadtextGolden:
             np.testing.assert_allclose(
                 np.asarray(d_got["boxes"], np.float64),
                 np.asarray(d_ref["boxes"], np.float64))
+
+    def test_free_merge_recognize_identical(self, paired_readers):
+        """free_merge golden through recognize() with constructed lists —
+        detection on this page yields only free boxes, which is outside the
+        reference merge_to_free's working domain (it indexes
+        merge_result_buf[-1] with no merged lines, utils.py:1200)."""
+        ref_reader, ours = paired_readers
+        page = _synthetic_grey_page()
+        # the reference needs >= 2 merged rows AND a free box that sorts
+        # before row 1, else merge_result_buf[y_pos] walks off the end —
+        # three horizontal lines split into two rows (x0 of line 2 < x0 of
+        # line 1 breaks the run) and a free quad near the top stay inside
+        # its working domain
+        horizontal = [[50, 110, 30, 50], [10, 80, 60, 80], [15, 105, 90, 110]]
+        free = [[[20.0, 8.0], [100.0, 10.0], [98.0, 24.0], [18.0, 22.0]]]
+        kw = dict(decoder="greedy", batch_size=1, output_format="free_merge")
+        theirs = ref_reader.recognize(page.copy(), horizontal, free, **kw)
+        got = ours.recognize(page.copy(), horizontal, free, **kw)
+        assert len(got) == len(theirs) > 0
+        for r_ref, r_got in zip(theirs, got):
+            assert r_got[1] == r_ref[1]
+            np.testing.assert_allclose(
+                np.asarray(r_got[0], np.float64), np.asarray(r_ref[0], np.float64))
+
+    def test_readtext_batched_chain_identical(self, paired_readers):
+        ref_reader, ours = paired_readers
+        # a LIST of 2-D greys: a stacked (2, H, W) ndarray would read as one
+        # 3-channel image in the reference's reformat_input_batched
+        pages = [_synthetic_grey_page(), _synthetic_grey_page(1)]
+        tt, lt, low = _pick_thresholds(ours, pages[0])
+        kw = dict(canvas_size=256, text_threshold=tt, link_threshold=lt,
+                  low_text=low, min_size=5)
+        theirs = ref_reader.readtext_batched([p.copy() for p in pages], **kw)
+        got = ours.readtext_batched([p.copy() for p in pages], **kw)
+        assert len(got) == len(theirs) == 2
+        total = 0
+        for page_ref, page_got in zip(theirs, got):
+            assert len(page_got) == len(page_ref)
+            total += len(page_ref)
+            for (b_ref, t_ref, c_ref), (b_got, t_got, c_got) in zip(
+                    page_ref, page_got):
+                assert t_got == t_ref
+                np.testing.assert_allclose(
+                    np.asarray(b_got, np.float64), np.asarray(b_ref, np.float64))
+        assert total > 0
