@@ -73,7 +73,13 @@ class SyntheticFarsiLines:
                 )
             # dark text on white, normalised like the inference path
             images[i, :, :, 0] = ((1.0 - glyphs) - 0.5) / 0.5
-            labels[i, :length] = [self.char_to_id[c] for c in text]
+            # labels in VISUAL order (leftmost glyph first): the render is
+            # RTL and CTC/readout alignment is monotonic along width, so
+            # training targets are the reversed logical string (the model
+            # emits visual order; get_display restores logical — the
+            # reference's arabic convention, ocr.py:482-486).  ``texts``
+            # stays logical; reverse it when scoring raw model output.
+            labels[i, :length] = [self.char_to_id[c] for c in text[::-1]]
             lengths[i] = length
             texts.append(text)
         return images, labels, lengths, texts

@@ -56,8 +56,15 @@ def make_train_step(optimizer, variant: str = "gen1"):
     return train_step
 
 
-def make_optimizer(learning_rate: float = 1e-3):
-    return optax.adam(learning_rate)
+def make_optimizer(learning_rate: float = 1e-3, clip_norm: float | None = 1.0):
+    """Adam with global-norm clipping (default on — the 512-wide BiLSTM
+    stack diverges without it at practical learning rates)."""
+    if clip_norm is None:
+        return optax.adam(learning_rate)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adam(learning_rate),
+    )
 
 
 def make_trocr_train_step(optimizer, heads: int = 8):

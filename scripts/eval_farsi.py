@@ -40,11 +40,15 @@ def make_font(chars, rng, glyph_w, h=64):
             for c in chars}
 
 
-def render_crop(text, font, glyph_w, h=64):
-    """Native-width u8 line crop; visual RTL (first char rightmost)."""
-    canvas = np.full((h, glyph_w * len(text)), 255, dtype=np.uint8)
+def render_crop(text, font, glyph_w, h=64, margin: int = 0):
+    """Native-width u8 line crop; visual RTL (first char rightmost).
+
+    ``margin`` adds white columns on both sides — detection boxes always
+    carry background margin (add_margin), and the recognizers' replicate-
+    edge right padding must land on background, not on glyph pixels."""
+    canvas = np.full((h, glyph_w * len(text) + 2 * margin), 255, dtype=np.uint8)
     for i, ch in enumerate(text):
-        col = (len(text) - 1 - i) * glyph_w
+        col = margin + (len(text) - 1 - i) * glyph_w
         canvas[:, col:col + glyph_w] = font[ch]
     return canvas
 
@@ -55,7 +59,7 @@ def sample_texts(rng, charset, n, min_len=2, max_len=9):
 
 
 def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
-               glyph_w=24, seed=0, verbose=True):
+               glyph_w=24, seed=0, verbose=True, lr=1e-3):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN.
 
     Returns ``(params, conv, font, loss, calib_batches)`` with BN running
@@ -74,7 +78,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     font = make_font(charset, rng, glyph_w)
 
     # train on device-resident batches (uploaded once)
-    width = glyph_w * 9 + 8  # widest training line + slack
+    width = glyph_w * 9 + 16  # widest training line + margins
     width = -(-width // 64) * 64
 
     def render_batch(texts):
@@ -84,9 +88,14 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         labels = np.zeros((n, max_len), np.int32)
         lengths = np.zeros((n,), np.int32)
         for i, t in enumerate(texts):
-            crop = render_crop(t, font, glyph_w)
+            crop = render_crop(t, font, glyph_w, margin=6)
             images[i, :, :crop.shape[1], 0] = crop
-            ids = [conv.dict[c] for c in t]
+            # labels in VISUAL order (leftmost glyph first): CTC alignment is
+            # monotonic along the width axis, so an RTL render must train
+            # against the reversed logical string — the model emits visual
+            # order and get_display() restores logical (the reference's
+            # arabic convention, ocr.py:482-486)
+            ids = [conv.dict[c] for c in t[::-1]]
             labels[i, :len(ids)] = ids
             lengths[i] = len(ids)
         norm = ((images.astype(np.float32) / 255.0) - 0.5) / 0.5
@@ -101,7 +110,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
 
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
                             output_channel=oc, hidden_size=hs)
-    opt = make_optimizer(1e-3)
+    opt = make_optimizer(lr)
     state = opt.init(params)
     step = make_train_step(opt)
 
@@ -129,6 +138,7 @@ def main():
     ap.add_argument("--train-pool", type=int, default=20, help="distinct device-resident batches")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--eval-lines", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin overrides "
@@ -159,12 +169,14 @@ def main():
         oc = hs = 512
     params, conv, font, loss, calib_batches = train_gen1(
         charset, steps=args.steps, train_pool=args.train_pool,
-        batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w)
+        batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr)
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
     eval_texts = sample_texts(rng, charset, args.eval_lines)
-    crops = [render_crop(t, font, glyph_w) for t in eval_texts]
+    # model output is in visual order; ground truth for CER must match
+    eval_visual = [t[::-1] for t in eval_texts]
+    crops = [render_crop(t, font, glyph_w, margin=6) for t in eval_texts]
     image_list = []
     y = 0
     for crop in crops:
@@ -228,12 +240,12 @@ def main():
         "final_ctc_loss": round(float(loss), 4),
         "exact_match_vs_reference": exact,
         "cer_vs_reference": round(cer(ours_texts, ref_texts), 6),
-        "cer_ours_vs_truth": round(cer(ours_texts, eval_texts), 6),
-        "cer_reference_vs_truth": round(cer(ref_texts, eval_texts), 6),
-        "cer_serving_int8_vs_truth": round(cer(fast_texts, eval_texts), 6),
+        "cer_ours_vs_truth": round(cer(ours_texts, eval_visual), 6),
+        "cer_reference_vs_truth": round(cer(ref_texts, eval_visual), 6),
+        "cer_serving_int8_vs_truth": round(cer(fast_texts, eval_visual), 6),
         "cer_serving_int8_vs_reference": round(cer(fast_texts, ref_texts), 6),
-        "cer_serving_int8_u4wire_vs_truth": round(cer(fast4_texts, eval_texts), 6),
-        "cer_serving_int8_u1wire_vs_truth": round(cer(fast1_texts, eval_texts), 6),
+        "cer_serving_int8_u4wire_vs_truth": round(cer(fast4_texts, eval_visual), 6),
+        "cer_serving_int8_u1wire_vs_truth": round(cer(fast1_texts, eval_visual), 6),
         "latency_ms_p50_single_line": round(float(np.percentile(lat, 50)), 2),
         "latency_ms_p95_single_line": round(float(np.percentile(lat, 95)), 2),
     }

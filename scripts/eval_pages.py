@@ -40,7 +40,7 @@ def compose_page(texts, font, glyph_w, page_w=640, margin=16, pitch=80):
     page = np.full((page_h, page_w), 245, dtype=np.uint8)
     boxes = []
     for i, t in enumerate(texts):
-        crop = render_crop(t, font, glyph_w)
+        crop = render_crop(t, font, glyph_w, margin=6)
         h, w = crop.shape
         y, x = margin + i * pitch, margin
         w = min(w, page_w - 2 * margin)
@@ -159,7 +159,8 @@ def main():
         dev_texts.append([t for t, _ in res])
 
     flat = lambda lists: [t for sub in lists for t in sub]  # noqa: E731
-    flat_truth = flat(truth)
+    # recognizers emit visual order; reverse the logical truth
+    flat_truth = [t[::-1] for t in flat(truth)]
     host_flat, dev_flat = flat(host_texts), flat(dev_texts)
 
     # ---- 2. detection canvas drift (host PIL vs device bilinear) ---------

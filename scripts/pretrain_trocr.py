@@ -143,7 +143,7 @@ def main(argv=None):
                                          heads=heads, max_len=max_label + 2)
             hyp = tokens_to_text(np.asarray(toks), np.asarray(lens),
                                  [""] + list(charset))
-            e = cer(hyp, texts)
+            e = cer(hyp, [t[::-1] for t in texts])  # visual order
             history.append({"step": step + 1, "loss": float(loss), "cer": e})
             print(f"eval @ {step + 1}: CER {e:.4f}", flush=True)
 

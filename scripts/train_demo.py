@@ -68,7 +68,8 @@ def main():
     labels = np.zeros((args.lines, max_len), dtype=np.int32)
     lengths = np.zeros((args.lines,), dtype=np.int32)
     for i, t in enumerate(texts):
-        ids = [conv.dict[c] for c in t]
+        # visual order: RTL render + monotonic CTC (see data.py note)
+        ids = [conv.dict[c] for c in t[::-1]]
         labels[i, :len(ids)] = ids
         lengths[i] = len(ids)
 
@@ -89,7 +90,7 @@ def main():
 
             probs_idx = np.asarray(jnp.argmax(logits, axis=2))
             decoded = decode_greedy_batch(probs_idx, conv.character, conv.ignore_idx)
-            rate = cer(decoded, texts)
+            rate = cer(decoded, [t[::-1] for t in texts])  # visual order
             print(f"step {i:4d}  loss {float(loss):8.4f}  CER {rate:.3f}  "
                   f"({time.time()-t0:.0f}s)")
             if rate == 0.0 and i > 0:
