@@ -101,12 +101,22 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         norm = ((images.astype(np.float32) / 255.0) - 0.5) / 0.5
         return norm, labels, lengths
 
+    # curriculum: the alignment lock-in of CTC over a 184-glyph charset is
+    # unreliable on long lines from scratch — short lines (1-3 chars) make
+    # it deterministic, then the full-length pool takes over
+    short = [render_batch(sample_texts(rng, charset, batch, min_len=1, max_len=3))
+             for _ in range(max(train_pool // 4, 2))]
     pool = [render_batch(sample_texts(rng, charset, batch))
             for _ in range(train_pool)]
-    max_l = max(b[1].shape[1] for b in pool)
-    pool = [(jax.device_put(jnp.asarray(im)),
-             jax.device_put(jnp.asarray(np.pad(lb, ((0, 0), (0, max_l - lb.shape[1]))))),
-             jax.device_put(jnp.asarray(ln))) for im, lb, ln in pool]
+    max_l = max(b[1].shape[1] for b in pool + short)
+
+    def put(batches):
+        return [(jax.device_put(jnp.asarray(im)),
+                 jax.device_put(jnp.asarray(
+                     np.pad(lb, ((0, 0), (0, max_l - lb.shape[1]))))),
+                 jax.device_put(jnp.asarray(ln))) for im, lb, ln in batches]
+
+    short, pool = put(short), put(pool)
 
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
                             output_channel=oc, hidden_size=hs)
@@ -116,8 +126,10 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
 
     t0 = time.time()
     loss = float("nan")
+    warm = min(steps // 4, 1500)
     for i in range(steps):
-        im, lb, ln = pool[i % len(pool)]
+        src = short if i < warm else pool
+        im, lb, ln = src[i % len(src)]
         params, state, loss = step(params, state, im, lb, ln)
         if verbose and i % 100 == 0:
             print(f"step {i:4d}  loss {float(loss):8.4f}  ({time.time()-t0:.0f}s)",
