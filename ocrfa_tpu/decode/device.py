@@ -83,8 +83,19 @@ def greedy_confidences(indices: np.ndarray, values: np.ndarray):
     return out
 
 
-def keep_mask_for(num_classes: int, ignore_idx) -> np.ndarray:
+def keep_mask_for(num_classes: int, ignore_idx=()) -> np.ndarray:
+    """Class-keep mask for the ignore-char renormalisation.
+
+    Mirrors ``preds_prob[:, :, ignore_idx] = 0`` (utils.py:630): the
+    reference builds ``ignore_idx`` from ignored CHARACTERS (+1 offset,
+    get_text utils.py:716-723), so index 0 — the CTC blank — can never be
+    masked there.  Class 0 is therefore always kept here too: masking the
+    blank makes greedy CTC emit a runner-up junk character at every
+    inter-glyph timestep (callers passing ``converter.ignore_idx``, whose
+    first entry is the blank used for decode-time collapse, used to
+    trigger exactly that).
+    """
     mask = np.ones((num_classes,), dtype=np.float32)
-    ignore = [i for i in ignore_idx if 0 <= i < num_classes]
+    ignore = [i for i in ignore_idx if 0 < i < num_classes]
     mask[ignore] = 0.0
     return mask

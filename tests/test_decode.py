@@ -207,3 +207,20 @@ class TestConverterEdges:
             CTCLabelConverter("\xa2\xa3\xa4\xa5ab", sep, {"th": "/nonexistent"})
         with pytest.raises(OSError):
             ref_utils.CTCLabelConverter("\xa2\xa3\xa4\xa5ab", sep, {"th": "/nonexistent"})
+
+
+class TestKeepMask:
+    def test_never_masks_blank(self):
+        """Regression: passing converter.ignore_idx (whose first entry is
+        the CTC blank, used for decode-time collapse) to keep_mask_for used
+        to zero class 0 — greedy CTC then emits a runner-up junk char at
+        every inter-glyph step (caught by the trained eval, CER 4.9 -> 0.01)."""
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+
+        conv = CTCLabelConverter("اب")
+        mask = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        assert mask[0] == 1.0
+        # ignored characters (1-based) still mask
+        mask = keep_mask_for(4, [0, 2])
+        assert mask.tolist() == [1.0, 1.0, 0.0, 1.0]
