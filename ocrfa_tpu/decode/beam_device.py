@@ -39,8 +39,10 @@ def _logaddexp(a, b):
 
 
 def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
-               lm_log=None, lm_factor: float = 0.0):
-    prefix, length, h1, h2, pb, pnb = state
+               lm_log=None, lm_factor: float = 0.0,
+               trie_trans=None, trie_word=None, sep_idx: int = -1,
+               oov_penalty: float = -4.0, word_bonus: float = 0.0):
+    prefix, length, h1, h2, pb, pnb, node = state
     b = beam_width
     k = topk
 
@@ -66,6 +68,26 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
         # (row 0 = start-of-text context; `last` is 0 for empty prefixes)
         ctx = jnp.where(has_char, last, 0)
         ext_pnb = ext_pnb + lm_factor * lm_log[ctx[:, None], c]
+    if trie_trans is not None:
+        # lexicon fusion: each beam walks the dictionary trie; extensions
+        # that leave it pay `oov_penalty` per character, a separator pays
+        # `word_bonus`/`oov_penalty` for completed/incomplete words and
+        # restarts the walk (device analog of decode_wordbeamsearch's
+        # per-word dictionary beams, utils.py:1124-1173)
+        in_trie = node >= 0
+        safe = jnp.maximum(node, 0)
+        nxt = jnp.where(in_trie[:, None], trie_trans[safe[:, None], c], -1)
+        is_sep = c == sep_idx
+        word_ok = in_trie & trie_word[safe]
+        lex_score = jnp.where(
+            is_sep,
+            jnp.where(word_ok[:, None], word_bonus, oov_penalty),
+            jnp.where(nxt >= 0, 0.0, oov_penalty),
+        )
+        next_node = jnp.where(is_sep, 0, nxt)
+        ext_pnb = ext_pnb + lex_score
+    else:
+        next_node = jnp.broadcast_to(node[:, None], (b, k))
     ext_pb = jnp.full((b, k), NEG_INF)
 
     # flatten candidates: B stays then B*K extends
@@ -75,6 +97,7 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
     cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
     parent = jnp.concatenate([jnp.arange(b), jnp.repeat(jnp.arange(b), k)])
     newchar = jnp.concatenate([jnp.full((b,), -1), c.reshape(-1)]).astype(jnp.int32)
+    cand_node = jnp.concatenate([node, next_node.reshape(-1)])
 
     m = b + b * k
     # dead parents must not merge with anything: give them unique hashes
@@ -135,17 +158,23 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
     new_length = jnp.where(extend, jnp.minimum(new_length + 1, max_t), new_length)
     new_h1 = cand_h1[rep]
     new_h2 = cand_h2[rep]
+    new_node = cand_node[rep]
     new_pb = new_pb_seg[best_seg]
     new_pnb = new_pnb_seg[best_seg]
     new_pb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pb)
     new_pnb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pnb)
 
-    return (new_prefix, new_length, new_h1, new_h2, new_pb, new_pnb), None
+    return (new_prefix, new_length, new_h1, new_h2, new_pb, new_pnb,
+            new_node), None
 
 
-@partial(jax.jit, static_argnames=("beam_width", "topk", "lm_factor"))
+@partial(jax.jit, static_argnames=("beam_width", "topk", "lm_factor",
+                                   "sep_idx", "oov_penalty", "word_bonus"))
 def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
-                           lm_log=None, lm_factor: float = 0.3):
+                           lm_log=None, lm_factor: float = 0.3,
+                           trie_trans=None, trie_word=None, sep_idx: int = -1,
+                           oov_penalty: float = -4.0,
+                           word_bonus: float = 0.0):
     """Batch CTC beam decode.
 
     Args:
@@ -155,6 +184,14 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
         extension is biased by ``lm_factor * lm_log[prev, c]`` inside the
         scan (shallow fusion — the TPU analog of the reference's dormant
         applyLM slot, utils.py:875-883).
+      trie_trans/trie_word: optional dense lexicon trie
+        (:class:`ocrfa_tpu.decode.lexicon.LexiconTrie` ``.trans``/
+        ``.is_word``).  Beams walk the dictionary inside the scan:
+        extensions leaving it pay ``oov_penalty`` (log-space, per char);
+        a ``sep_idx`` extension pays ``word_bonus`` when the walk sits on
+        a completed word (else ``oov_penalty``) and restarts at the root —
+        the device analog of the reference's dictionary word-beam-search
+        (utils.py:1124-1173) without per-word host loops.
 
     Returns ``(prefixes, lengths, scores)``: best-first collapsed label
     sequences ``(N, B, T)`` with valid ``lengths (N, B)`` and total log
@@ -171,11 +208,15 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
         h2 = jnp.zeros((b,), dtype=jnp.uint32)
         pb = jnp.full((b,), NEG_INF).at[0].set(0.0)
         pnb = jnp.full((b,), NEG_INF)
+        node = jnp.zeros((b,), dtype=jnp.int32)
 
         step = partial(_beam_step, beam_width=b, topk=topk, max_t=t,
-                       lm_log=lm_log, lm_factor=lm_factor)
-        (prefix, length, _, _, pb, pnb), _ = jax.lax.scan(
-            step, (prefix, length, h1, h2, pb, pnb), row
+                       lm_log=lm_log, lm_factor=lm_factor,
+                       trie_trans=trie_trans, trie_word=trie_word,
+                       sep_idx=sep_idx, oov_penalty=oov_penalty,
+                       word_bonus=word_bonus)
+        (prefix, length, _, _, pb, pnb, _), _ = jax.lax.scan(
+            step, (prefix, length, h1, h2, pb, pnb, node), row
         )
         score = _logaddexp(pb, pnb)
         order = jnp.argsort(-score)

@@ -126,7 +126,9 @@ class Recognizer:
 
         self._apply_probs = jax.jit(_fused_probs)
 
-        def _fused_beam(params, x, keep_mask, *, beam_width):
+        def _fused_beam(params, x, keep_mask, trie_trans=None, trie_word=None,
+                        *, beam_width, sep_idx=-1, oov_penalty=-4.0,
+                        word_bonus=0.0):
             from ocrfa_tpu.decode.beam_device import ctc_beam_search_device
 
             logits = model_fn(params, _norm(x)).astype(jnp.float32)
@@ -134,11 +136,16 @@ class Recognizer:
                                                         return_probs=True)
             log_probs = jnp.log(jnp.maximum(probs, 1e-30))
             prefixes, lengths, scores = ctc_beam_search_device(
-                log_probs, beam_width=beam_width
+                log_probs, beam_width=beam_width,
+                trie_trans=trie_trans, trie_word=trie_word, sep_idx=sep_idx,
+                oov_penalty=oov_penalty, word_bonus=word_bonus,
             )
             return prefixes, lengths, ctc_confidences(indices, values)
 
-        self._apply_beam = jax.jit(_fused_beam, static_argnames=("beam_width",))
+        self._apply_beam = jax.jit(
+            _fused_beam,
+            static_argnames=("beam_width", "sep_idx", "oov_penalty",
+                             "word_bonus"))
 
     def logits(self, batch: np.ndarray) -> jax.Array:
         """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""
@@ -209,13 +216,18 @@ class Recognizer:
         return [[t, c] for t, c in zip(texts, confidences)]
 
     def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
-                decoder: str = "greedy", beam_width: int = 5):
+                decoder: str = "greedy", beam_width: int = 5,
+                lexicon=None, oov_penalty: float = -4.0,
+                word_bonus: float = 0.0):
         """Run one padded batch end-to-end; returns [[text, conf], ...].
 
         Decoders: ``greedy`` (on-device, reference-exact), ``beamsearch`` /
         ``wordbeamsearch`` (host, reference-exact), ``beamsearch_fast``
         (lax.scan beam fully on-device — better posterior argmax than the
-        reference beam, not tie-exact with it).
+        reference beam, not tie-exact with it), ``wordbeamsearch_fast``
+        (device beam with dictionary-trie shallow fusion — pass ``lexicon``,
+        a :class:`~ocrfa_tpu.decode.lexicon.LexiconTrie` over this
+        converter's classes; ``oov_penalty``/``word_bonus`` tune it).
         """
         if decoder == "greedy":
             return self.collect(self.predict_async(batch, keep_mask))
@@ -234,12 +246,26 @@ class Recognizer:
 
             x = shard_batch(x, self.mesh)
 
-        if decoder == "beamsearch_fast":
+        if decoder in ("beamsearch_fast", "wordbeamsearch_fast"):
             from ocrfa_tpu.decode.beam_device import decode_beams_to_text
 
-            prefixes, lengths, confs = self._apply_beam(
-                self.params, x, mask, beam_width=beam_width
-            )
+            if decoder == "wordbeamsearch_fast":
+                if lexicon is None:
+                    raise ValueError(
+                        "wordbeamsearch_fast needs a LexiconTrie (lexicon=)")
+                chars = list(self.converter.character)
+                sep = chars.index(" ") if " " in chars else -1
+                prefixes, lengths, confs = self._apply_beam(
+                    self.params, x, mask,
+                    jnp.asarray(lexicon.trans), jnp.asarray(lexicon.is_word),
+                    beam_width=beam_width, sep_idx=sep,
+                    oov_penalty=float(oov_penalty),
+                    word_bonus=float(word_bonus),
+                )
+            else:
+                prefixes, lengths, confs = self._apply_beam(
+                    self.params, x, mask, beam_width=beam_width
+                )
             texts = decode_beams_to_text(
                 np.asarray(prefixes)[:n], np.asarray(lengths)[:n],
                 self.converter.character, self.converter.ignore_idx,
