@@ -30,18 +30,39 @@ class CraftDetector:
     """Device-resident CRAFT with per-shape jit cache."""
 
     def __init__(self, params, compute_dtype=jnp.float32, mesh=None,
-                 canvas_bucket: int | None = None):
+                 canvas_bucket: int | None = None, quantized=None,
+                 calibration_batches=None):
+        """``quantized="static"`` runs the calibrated int8 tower (the TPU
+        twin of the reference's always-on detector quantize_dynamic,
+        detectors.py:81-85); pass normalised f32 canvas
+        ``calibration_batches`` to fix the activation scales."""
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.canvas_bucket = canvas_bucket
-        if compute_dtype != jnp.float32:
+        apply_fn = craft_apply
+        if quantized == "static":
+            from ocrfa_tpu.models.quant_craft import (
+                calibrate_craft,
+                craft_apply_int8_static,
+                quantize_craft_static,
+            )
+
+            if not calibration_batches:
+                raise ValueError(
+                    "quantized='static' needs calibration_batches")
+            amax = calibrate_craft(params, calibration_batches)
+            params = quantize_craft_static(params, amax)
+            apply_fn = craft_apply_int8_static
+        elif quantized:
+            raise ValueError(f"unknown quantized mode {quantized!r}")
+        elif compute_dtype != jnp.float32:
             params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
         if mesh is not None:
             from ocrfa_tpu.parallel.mesh import replicate
 
             params = replicate(params, mesh)
         self.params = jax.device_put(params)
-        self._apply = jax.jit(craft_apply)
+        self._apply = jax.jit(apply_fn)
 
     def heatmaps(self, batch: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) normalised canvases -> (N, H/2, W/2, 2) maps."""

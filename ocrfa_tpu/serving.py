@@ -69,10 +69,15 @@ class ServingPipeline:
     def __init__(self, detector_params, recognizer, canvas_size: int = 1280,
                  use_pallas: bool = False, text_threshold: float = 0.7,
                  link_threshold: float = 0.4, low_text: float = 0.4,
-                 min_size: int = 20, mesh=None):
+                 min_size: int = 20, mesh=None, detector_quantized=None,
+                 detector_calibration=None):
         """``mesh``: replicate detector/recognizer params across a device
         mesh; page batches submitted via :meth:`submit_page_batch` then
-        shard along the data axis."""
+        shard along the data axis.
+
+        ``detector_quantized="static"`` runs the calibrated int8 CRAFT
+        tower (:mod:`ocrfa_tpu.models.quant_craft`); pass normalised f32
+        canvases as ``detector_calibration``."""
         self.mesh = mesh
         self.recognizer = recognizer
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
@@ -84,6 +89,23 @@ class ServingPipeline:
         self.keep_mask = keep_mask_for(
             recognizer.converter.num_classes, recognizer.converter.ignore_idx
         )
+        det_apply = craft_apply
+        if detector_quantized == "static":
+            from ocrfa_tpu.models.quant_craft import (
+                calibrate_craft,
+                craft_apply_int8_static,
+                quantize_craft_static,
+            )
+
+            if not detector_calibration:
+                raise ValueError(
+                    "detector_quantized='static' needs detector_calibration")
+            amax = calibrate_craft(detector_params, detector_calibration)
+            detector_params = quantize_craft_static(detector_params, amax)
+            det_apply = craft_apply_int8_static
+        elif detector_quantized:
+            raise ValueError(
+                f"unknown detector_quantized mode {detector_quantized!r}")
         if mesh is not None:
             from ocrfa_tpu.parallel.mesh import replicate
 
@@ -99,7 +121,7 @@ class ServingPipeline:
             canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0))
             rgb = jnp.broadcast_to(canvas[..., None], (*canvas_hw, 3))
             x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
-            y, _ = craft_apply(params, x[None])
+            y, _ = det_apply(params, x[None])
             return _seed_detection(y[0], self.text_threshold, self.low_text,
                                    self.link_threshold)
 
@@ -113,7 +135,7 @@ class ServingPipeline:
             canvas = jax.lax.dynamic_update_slice(canvas, resized, (0, 0, 0))
             rgb = jnp.broadcast_to(canvas[..., None], (n, *canvas_hw, 3))
             x = (rgb - _IMAGENET_MEAN) / _IMAGENET_STD
-            y, _ = craft_apply(params, x)
+            y, _ = det_apply(params, x)
             return _seed_detection(y, self.text_threshold, self.low_text,
                                    self.link_threshold)
 
