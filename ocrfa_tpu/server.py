@@ -37,17 +37,30 @@ class _Job:
 
 
 class PipelineDispatcher:
-    """Single consumer thread: page queue -> ServingPipeline, depth-pipelined."""
+    """Single consumer thread: page queue -> ServingPipeline, depth-pipelined.
 
-    def __init__(self, pipeline, depth: int = 2, max_queue: int = 64):
+    Queued pages of the same shape are opportunistically grouped into one
+    ``submit_page_batch`` dispatch (dynamic batching): a batched detector
+    forward is ~30% cheaper per page than singles at v5e page shapes and
+    dodges the per-dispatch RTT floor.  Batching is natural — whatever has
+    accumulated while the device was busy goes out together; an idle
+    server still dispatches single pages immediately (no added latency).
+    """
+
+    def __init__(self, pipeline, depth: int = 2, max_queue: int = 64,
+                 max_batch: int = 16):
         self.pipeline = pipeline
         self.depth = depth
+        self.max_batch = max_batch
         self.jobs: queue.Queue = queue.Queue(maxsize=max_queue)
+        self.stats = {"pages": 0, "batches": 0, "batched_pages": 0}
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, page: np.ndarray, timeout: float | None = 30.0):
+    def submit(self, page: np.ndarray, timeout: float | None = 300.0):
+        # generous default: the first page of a new canvas shape pays a
+        # 20-60s XLA compile on TPU; steady-state latency is ~ms
         job = _Job(page)
         self.jobs.put(job, timeout=1.0)
         if not job.event.wait(timeout):
@@ -63,21 +76,56 @@ class PipelineDispatcher:
         self._stop.set()
         self._thread.join(timeout=5.0)
 
+    def _drain(self):
+        """Blocking-get one job, then greedily take whatever else is queued
+        (up to ``max_batch``) — the natural-batching window."""
+        try:
+            jobs = [self.jobs.get(timeout=0.05)]
+        except queue.Empty:
+            return []
+        while len(jobs) < self.max_batch:
+            try:
+                jobs.append(self.jobs.get_nowait())
+            except queue.Empty:
+                break
+        return jobs
+
+    def _dispatch(self, jobs):
+        """Submit jobs, grouping same-shape runs into batch dispatches."""
+        out = []
+        i = 0
+        while i < len(jobs):
+            group = [jobs[i]]
+            shape = getattr(jobs[i].page, "shape", None)
+            while (len(jobs) > i + len(group)
+                   and getattr(jobs[i + len(group)].page, "shape", ()) == shape):
+                group.append(jobs[i + len(group)])
+            i += len(group)
+            batchable = hasattr(self.pipeline, "submit_page_batch")
+            try:
+                if len(group) == 1 or not batchable:
+                    handles = [self.pipeline.submit_page(j.page)
+                               for j in group]
+                else:
+                    handles = self.pipeline.submit_page_batch(
+                        [j.page for j in group])
+                    self.stats["batches"] += 1
+                    self.stats["batched_pages"] += len(group)
+                self.stats["pages"] += len(group)
+                out.extend(zip(group, handles))
+            except Exception as exc:  # malformed page, OOM, ...
+                for j in group:
+                    j.error = exc
+                    j.event.set()
+        return out
+
     def _run(self):
         inflight: list[tuple[_Job, object]] = []
         while not self._stop.is_set():
-            try:
-                job = self.jobs.get(timeout=0.05)
-            except queue.Empty:
-                job = None
-            if job is not None:
-                try:
-                    inflight.append((job, self.pipeline.submit_page(job.page)))
-                except Exception as exc:  # malformed page, OOM, ...
-                    job.error = exc
-                    job.event.set()
+            jobs = self._drain()
+            inflight.extend(self._dispatch(jobs))
             while inflight and (len(inflight) >= self.depth
-                                or (job is None and self.jobs.empty())):
+                                or (not jobs and self.jobs.empty())):
                 j, handle = inflight.pop(0)
                 try:
                     j.result = self.pipeline.finish_page(handle)
@@ -122,7 +170,8 @@ def make_handler(dispatcher: PipelineDispatcher):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True, "queued": dispatcher.qsize()})
+                self._reply(200, {"ok": True, "queued": dispatcher.qsize(),
+                                  "stats": dict(dispatcher.stats)})
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -132,7 +181,14 @@ def make_handler(dispatcher: PipelineDispatcher):
                 return
             try:
                 page = _decode_body(self)
+            except Exception as exc:
+                self._reply(400, {"error": str(exc)})
+                return
+            try:
                 results = dispatcher.submit(page)
+            except TimeoutError as exc:
+                self._reply(503, {"error": str(exc)})
+                return
             except Exception as exc:
                 self._reply(400, {"error": str(exc)})
                 return

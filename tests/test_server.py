@@ -96,3 +96,87 @@ class TestOCRServer:
         # same page -> same result through the batching dispatcher
         texts = [tuple(x["text"] for x in r[1]["results"]) for r in results]
         assert len(set(texts)) == 1
+
+
+class TestDynamicBatching:
+    class FakePipeline:
+        """Records submit calls; finish blocks on an event so the queue
+        can build up deterministically."""
+
+        def __init__(self):
+            import threading
+
+            self.release = threading.Event()
+            self.submit_calls = []
+
+        def submit_page(self, page):
+            self.submit_calls.append(1)
+            return ("h", page.shape)
+
+        def submit_page_batch(self, pages):
+            self.submit_calls.append(len(pages))
+            return [("h", p.shape) for p in pages]
+
+        def finish_page(self, handle):
+            self.release.wait(30)
+            return [handle[1]]
+
+    def test_same_shape_jobs_batch(self):
+        import threading
+
+        from ocrfa_tpu.server import PipelineDispatcher
+
+        fake = self.FakePipeline()
+        disp = PipelineDispatcher(fake, depth=1, max_batch=8)
+        try:
+            pages = [np.zeros((32, 32), np.uint8) for _ in range(5)]
+            threads = [threading.Thread(target=disp.submit, args=(p,))
+                       for p in pages]
+            threads[0].start()
+            # wait until job 0 is submitted and the dispatcher blocks in
+            # finish_page (depth=1 forces immediate collection)
+            for _ in range(200):
+                if fake.submit_calls:
+                    break
+                threading.Event().wait(0.01)
+            for t in threads[1:]:
+                t.start()
+            # let the remaining four accumulate in the queue
+            for _ in range(200):
+                if disp.qsize() == 4:
+                    break
+                threading.Event().wait(0.01)
+            fake.release.set()
+            for t in threads:
+                t.join(timeout=30)
+            assert fake.submit_calls[0] == 1
+            # the four queued same-shape pages went out as one batch
+            assert max(fake.submit_calls) == 4
+            assert disp.stats["batched_pages"] >= 4
+            assert disp.stats["pages"] == 5
+        finally:
+            fake.release.set()
+            disp.close()
+
+    def test_mixed_shapes_split_groups(self):
+        import threading
+
+        from ocrfa_tpu.server import PipelineDispatcher
+
+        fake = self.FakePipeline()
+        fake.release.set()  # no blocking; shapes split within one drain
+        disp = PipelineDispatcher(fake, depth=8, max_batch=8)
+        try:
+            # stuff the queue directly so one _drain sees all four
+            from ocrfa_tpu.server import _Job
+
+            a = _Job(np.zeros((32, 32), np.uint8))
+            b = _Job(np.zeros((32, 32), np.uint8))
+            c = _Job(np.zeros((16, 16), np.uint8))
+            d = _Job(np.zeros((16, 16), np.uint8))
+            batch = disp._dispatch([a, b, c, d])
+            assert [len(g) for g in ([a, b], [c, d])] == [2, 2]
+            assert fake.submit_calls == [2, 2]
+            assert len(batch) == 4
+        finally:
+            disp.close()
