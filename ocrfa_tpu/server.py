@@ -155,10 +155,26 @@ def _decode_body(handler) -> np.ndarray:
     return np.asarray(img)
 
 
-def make_handler(dispatcher: PipelineDispatcher):
+def make_handler(dispatcher: PipelineDispatcher, auth=None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet by default
             pass
+
+        def _authorize(self) -> bool:
+            """Apply the AuthPolicy; /healthz stays open (liveness probes
+            don't carry credentials)."""
+            if auth is None:
+                return True
+            token = auth.bearer(self.headers.get("Authorization")
+                                or self.headers.get("X-API-Key"))
+            verdict = auth.check(token, caller=self.client_address[0])
+            if verdict == "unauthenticated":
+                self._reply(401, {"error": "invalid or missing API key"})
+                return False
+            if verdict == "rate_limited":
+                self._reply(429, {"error": "rate limit exceeded"})
+                return False
+            return True
 
         def _reply(self, code: int, payload: dict):
             data = json.dumps(payload, ensure_ascii=False).encode("utf-8")
@@ -178,6 +194,8 @@ def make_handler(dispatcher: PipelineDispatcher):
         def do_POST(self):
             if self.path != "/ocr":
                 self._reply(404, {"error": "not found"})
+                return
+            if not self._authorize():
                 return
             try:
                 page = _decode_body(self)
@@ -206,10 +224,12 @@ class OCRServer:
     ``serve_forever``/``shutdown`` explicitly."""
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
-                 depth: int = 2):
+                 depth: int = 2, auth=None):
+        """``auth``: optional :class:`ocrfa_tpu.utils.ratelimit.AuthPolicy`
+        (API keys + per-caller rate limit) applied to ``POST /ocr``."""
         self.dispatcher = PipelineDispatcher(pipeline, depth=depth)
         self.httpd = ThreadingHTTPServer(
-            (host, port), make_handler(self.dispatcher))
+            (host, port), make_handler(self.dispatcher, auth=auth))
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
 

@@ -68,12 +68,30 @@ class OCRGrpcServer:
     """
 
     def __init__(self, pipeline, host: str = "127.0.0.1", port: int = 0,
-                 depth: int = 2, max_workers: int = 8):
+                 depth: int = 2, max_workers: int = 8, auth=None):
+        """``auth``: optional :class:`ocrfa_tpu.utils.ratelimit.AuthPolicy`
+        checked against ``authorization`` request metadata on Recognize
+        (Health stays open for liveness probes)."""
         import grpc
 
         self.dispatcher = PipelineDispatcher(pipeline, depth=depth)
 
+        def _authorize(context):
+            if auth is None:
+                return
+            meta = dict(context.invocation_metadata())
+            token = auth.bearer(meta.get("authorization")
+                                or meta.get("x-api-key"))
+            verdict = auth.check(token, caller=context.peer())
+            if verdict == "unauthenticated":
+                context.abort(grpc.StatusCode.UNAUTHENTICATED,
+                              "invalid or missing API key")
+            if verdict == "rate_limited":
+                context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                              "rate limit exceeded")
+
         def recognize(request, context):
+            _authorize(context)
             try:
                 page = _decode_request(request)
                 return _encode_results(self.dispatcher.submit(page))
@@ -119,11 +137,14 @@ class OCRGrpcServer:
 class OCRClient:
     """Typed client for :class:`OCRGrpcServer` (no generated stubs needed)."""
 
-    def __init__(self, target: str, timeout: float = 120.0):
+    def __init__(self, target: str, timeout: float = 120.0,
+                 api_key: str | None = None):
         import grpc
 
         self.channel = grpc.insecure_channel(target)
         self.timeout = timeout
+        self._metadata = (
+            (("authorization", f"Bearer {api_key}"),) if api_key else None)
         self._recognize = self.channel.unary_unary(
             f"/{_SERVICE}/Recognize",
             request_serializer=ocr_pb2.OCRRequest.SerializeToString,
@@ -148,7 +169,8 @@ class OCRClient:
             req = ocr_pb2.OCRRequest(image=page.tobytes(),
                                      height=page.shape[0],
                                      width=page.shape[1])
-        resp = self._recognize(req, timeout=self.timeout)
+        resp = self._recognize(req, timeout=self.timeout,
+                               metadata=self._metadata)
         return [
             ([[r.box[i], r.box[i + 1]] for i in range(0, 8, 2)],
              r.text, r.confidence)
@@ -156,7 +178,8 @@ class OCRClient:
         ]
 
     def health(self):
-        resp = self._health(ocr_pb2.HealthRequest(), timeout=self.timeout)
+        resp = self._health(ocr_pb2.HealthRequest(), timeout=self.timeout,
+                            metadata=self._metadata)
         return {"ok": resp.ok, "queued": resp.queued}
 
     def close(self):
