@@ -35,8 +35,11 @@ import numpy as np
 
 
 def make_font(chars, rng, glyph_w, h=64):
-    """One fixed random glyph bitmap per character (dark on white)."""
-    return {c: 255 - (rng.random((h, glyph_w)) > 0.6).astype(np.uint8) * 255
+    """One fixed random glyph bitmap per character (dark on white);
+    whitespace renders blank (real word gaps, needed for word-level
+    decode evals)."""
+    return {c: (np.full((h, glyph_w), 255, np.uint8) if c.isspace()
+                else 255 - (rng.random((h, glyph_w)) > 0.6).astype(np.uint8) * 255)
             for c in chars}
 
 
@@ -59,8 +62,15 @@ def sample_texts(rng, charset, n, min_len=2, max_len=9):
 
 
 def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
-               glyph_w=24, seed=0, verbose=True, lr=1e-3):
+               glyph_w=24, seed=0, verbose=True, lr=1e-3,
+               short_sampler=None, pool_sampler=None, augment=None):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN.
+
+    ``short_sampler``/``pool_sampler``: optional ``(rng, n) -> [str]``
+    overriding the random-character text source (e.g. word-structured text
+    for the lexicon eval); the line width adapts to the longest sample.
+    ``augment``: optional ``(crop_u8, rng) -> crop_u8`` applied to each
+    rendered training crop (noise/contrast robustness).
 
     Returns ``(params, conv, font, loss, calib_batches)`` with BN running
     stats calibrated for inference mode.  Shared by eval_farsi (line-level
@@ -77,8 +87,19 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     rng = np.random.default_rng(seed)
     font = make_font(charset, rng, glyph_w)
 
+    if pool_sampler is None:
+        pool_sampler = lambda r, n: sample_texts(r, charset, n)
+    if short_sampler is None:
+        short_sampler = lambda r, n: sample_texts(r, charset, n,
+                                                  min_len=1, max_len=3)
+
+    short_texts = [short_sampler(rng, batch)
+                   for _ in range(max(train_pool // 4, 2))]
+    pool_texts = [pool_sampler(rng, batch) for _ in range(train_pool)]
+
     # train on device-resident batches (uploaded once)
-    width = glyph_w * 9 + 16  # widest training line + margins
+    longest = max(len(t) for b in short_texts + pool_texts for t in b)
+    width = glyph_w * longest + 16  # widest training line + margins
     width = -(-width // 64) * 64
 
     def render_batch(texts):
@@ -89,6 +110,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         lengths = np.zeros((n,), np.int32)
         for i, t in enumerate(texts):
             crop = render_crop(t, font, glyph_w, margin=6)
+            if augment is not None:
+                crop = augment(crop, rng)
             images[i, :, :crop.shape[1], 0] = crop
             # labels in VISUAL order (leftmost glyph first): CTC alignment is
             # monotonic along the width axis, so an RTL render must train
@@ -104,10 +127,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # curriculum: the alignment lock-in of CTC over a 184-glyph charset is
     # unreliable on long lines from scratch — short lines (1-3 chars) make
     # it deterministic, then the full-length pool takes over
-    short = [render_batch(sample_texts(rng, charset, batch, min_len=1, max_len=3))
-             for _ in range(max(train_pool // 4, 2))]
-    pool = [render_batch(sample_texts(rng, charset, batch))
-            for _ in range(train_pool)]
+    short = [render_batch(t) for t in short_texts]
+    pool = [render_batch(t) for t in pool_texts]
     max_l = max(b[1].shape[1] for b in pool + short)
 
     def put(batches):
