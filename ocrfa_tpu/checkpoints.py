@@ -207,14 +207,8 @@ def convert_craft(sd: dict) -> dict:
     0,3,7,10,14,17,20,24,27,30,34,37 with BN at index+1; the Sequential
     module names inside each slice keep the original vgg indices.
     """
-    _VGG_CONVS = (
-        (1, 0), (1, 3), (1, 7), (1, 10),      # c0..c3 (64, 64, 128, 128)
-        (2, 14), (2, 17),                     # c4..c5 (256, 256)
-        (3, 20), (3, 24), (3, 27),            # c6..c8 (256, 512, 512)
-        (4, 30), (4, 34), (4, 37),            # c9..c11 (512, 512, 512)
-    )
     vgg = {}
-    for n, (slice_no, idx) in enumerate(_VGG_CONVS):
+    for n, (slice_no, idx) in enumerate(_CRAFT_VGG_CONVS):
         vgg[f"conv{n}"] = _conv(sd, f"basenet.slice{slice_no}.{idx}", bias=True)
         vgg[f"bn{n}"] = _bn(sd, f"basenet.slice{slice_no}.{idx + 1}")
     # slice5: maxpool(3,1,1), conv 3x3 dil 6, conv 1x1 (blocks.py:51-55)
@@ -361,6 +355,140 @@ def asf_attention_type(params: dict) -> str:
     if "fc1" in attn:
         return "scale_channel"
     return "scale_spatial"
+
+
+# ---------------------------------------------------------------------------
+# JAX -> torch exporters (inverses of the converters above): train or
+# fine-tune in this framework, run in the reference torch pipeline.
+
+
+def _put_conv(sd, prefix, p):
+    sd[prefix + ".weight"] = np.transpose(_to_numpy(p["w"]), (3, 2, 0, 1))
+    if "b" in p:
+        sd[prefix + ".bias"] = _to_numpy(p["b"])
+
+
+def _put_bn(sd, prefix, p):
+    sd[prefix + ".weight"] = _to_numpy(p["scale"])
+    sd[prefix + ".bias"] = _to_numpy(p["bias"])
+    sd[prefix + ".running_mean"] = _to_numpy(p["mean"])
+    sd[prefix + ".running_var"] = _to_numpy(p["var"])
+    sd[prefix + ".num_batches_tracked"] = np.array(0, dtype=np.int64)
+
+
+def _put_deconv(sd, prefix, p):
+    # ConvTranspose2d keeps its torch (Cin, Cout, kh, kw) layout end to end
+    sd[prefix + ".weight"] = _to_numpy(p["w"])
+    sd[prefix + ".bias"] = _to_numpy(p["b"])
+
+
+_CRAFT_VGG_CONVS = (
+    (1, 0), (1, 3), (1, 7), (1, 10),
+    (2, 14), (2, 17),
+    (3, 20), (3, 24), (3, 27),
+    (4, 30), (4, 34), (4, 37),
+)
+
+
+def export_craft(params) -> dict:
+    """craft params pytree -> reference-keyed torch state dict.
+
+    Exact inverse of :func:`convert_craft` (same vgg16_bn slice indices,
+    blocks.py:42-49); loads strict into the reference ``OCRFA`` module.
+    """
+    sd = {}
+    vgg = params["vgg"]
+    for n, (slice_no, idx) in enumerate(_CRAFT_VGG_CONVS):
+        _put_conv(sd, f"basenet.slice{slice_no}.{idx}", vgg[f"conv{n}"])
+        _put_bn(sd, f"basenet.slice{slice_no}.{idx + 1}", vgg[f"bn{n}"])
+    _put_conv(sd, "basenet.slice5.1", vgg["fc6"])
+    _put_conv(sd, "basenet.slice5.2", vgg["fc7"])
+    for name in ("upconv1", "upconv2", "upconv3", "upconv4"):
+        u = params[name]
+        _put_conv(sd, f"{name}.conv.0", u["conv1"])
+        _put_bn(sd, f"{name}.conv.1", u["bn1"])
+        _put_conv(sd, f"{name}.conv.3", u["conv2"])
+        _put_bn(sd, f"{name}.conv.4", u["bn2"])
+    for i, torch_idx in enumerate((0, 2, 4, 6, 8)):
+        _put_conv(sd, f"conv_cls.{torch_idx}", params["conv_cls"][i])
+    return sd
+
+
+def export_dbnet(params, backbone: str = "resnet18",
+                 data_parallel_prefix: bool = False) -> dict:
+    """dbnet params pytree -> reference-keyed torch state dict.
+
+    Exact inverse of :func:`convert_dbnet`.  Keys are bare
+    ``backbone.*``/``decoder.*`` by default (the replica/BasicModel layout);
+    ``data_parallel_prefix=True`` prepends ``model.module.`` to match the
+    zoo checkpoint files (DBNet/model/model.py:24-32 DataParallel wrap).
+    """
+    sd = {}
+    bb = params["backbone"]
+    if backbone.startswith("mobilenetv3"):
+        raise NotImplementedError(
+            "mobilenetv3 export not implemented (no reference checkpoint "
+            "consumes it; convert direction only)")
+    layers = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}[backbone]
+
+    _put_conv(sd, "backbone.conv1", bb["conv1"])
+    _put_bn(sd, "backbone.bn1", bb["bn1"])
+    for li, n in enumerate(layers, start=1):
+        for i in range(n):
+            bp = bb[f"layer{li}"][i]
+            prefix = f"backbone.layer{li}.{i}"
+            _put_conv(sd, prefix + ".conv1", bp["conv1"])
+            _put_bn(sd, prefix + ".bn1", bp["bn1"])
+            _put_conv(sd, prefix + ".conv2", bp["conv2"])
+            _put_bn(sd, prefix + ".bn2", bp["bn2"])
+            if "conv2_offset" in bp:
+                _put_conv(sd, prefix + ".conv2_offset", bp["conv2_offset"])
+            if "conv3" in bp:
+                _put_conv(sd, prefix + ".conv3", bp["conv3"])
+                _put_bn(sd, prefix + ".bn3", bp["bn3"])
+            if "downsample" in bp:
+                _put_conv(sd, prefix + ".downsample.0", bp["downsample"]["conv"])
+                _put_bn(sd, prefix + ".downsample.1", bp["downsample"]["bn"])
+
+    dec = params["decoder"]
+
+    def put_head(prefix, p):
+        _put_conv(sd, f"{prefix}.0", p["conv"])
+        _put_bn(sd, f"{prefix}.1", p["bn1"])
+        _put_deconv(sd, f"{prefix}.3", p["deconv1"])
+        _put_bn(sd, f"{prefix}.4", p["bn2"])
+        _put_deconv(sd, f"{prefix}.6", p["deconv2"])
+
+    for name in ("in5", "in4", "in3", "in2", "out2"):
+        _put_conv(sd, f"decoder.{name}", dec[name])
+    for name in ("out5", "out4", "out3"):
+        _put_conv(sd, f"decoder.{name}.0", dec[name])
+    put_head("decoder.binarize", dec["binarize"])
+    if "thresh" in dec:
+        put_head("decoder.thresh", dec["thresh"])
+    if "concat_attention" in dec:
+        ca = dec["concat_attention"]
+        prefix = "decoder.concat_attention"
+        attn = prefix + ".enhanced_attention"
+        _put_conv(sd, prefix + ".conv", ca["conv"])
+        a = ca["attn"]
+        if "channel1" in a:
+            _put_conv(sd, attn + ".channel_wise.1", a["channel1"])
+            _put_conv(sd, attn + ".channel_wise.3", a["channel2"])
+            _put_conv(sd, attn + ".spatial_wise.0", a["spatial1"])
+            _put_conv(sd, attn + ".spatial_wise.2", a["spatial2"])
+            _put_conv(sd, attn + ".attention_wise.0", a["attention"])
+        elif "fc1" in a:
+            _put_conv(sd, attn + ".fc1", a["fc1"])
+            _put_bn(sd, attn + ".bn", a["bn"])
+            _put_conv(sd, attn + ".fc2", a["fc2"])
+        else:
+            _put_conv(sd, attn + ".spatial_wise.0", a["spatial1"])
+            _put_conv(sd, attn + ".spatial_wise.2", a["spatial2"])
+            _put_conv(sd, attn + ".attention_wise.0", a["attention"])
+    if data_parallel_prefix:
+        sd = {f"model.module.{k}": v for k, v in sd.items()}
+    return sd
 
 
 def convert_mobilenetv3(sd: dict, mode: str = "large") -> dict:

@@ -87,3 +87,96 @@ class TestExportGen1:
         with torch.no_grad():
             theirs = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=2e-4)
+
+
+class TestExportCraft:
+    def test_roundtrip_and_torch_load(self):
+        """export_craft -> replica strict load -> convert back == original."""
+        import jax
+        import numpy as np
+        import torch
+
+        from ocrfa_tpu.checkpoints import convert_craft, export_craft
+        from ocrfa_tpu.models.craft import init_craft
+        from torch_replicas import CraftModel
+
+        params = init_craft(jax.random.PRNGKey(5))  # full-size: key parity
+        sd = export_craft(params)
+
+        model = CraftModel()
+        model.load_state_dict({k: torch.from_numpy(np.array(v))
+                               for k, v in sd.items()}, strict=True)
+
+        back = convert_craft(sd)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back),
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestExportDBNet:
+    @staticmethod
+    def _roundtrip(params, backbone):
+        import jax
+        import numpy as np
+
+        from ocrfa_tpu.checkpoints import convert_dbnet, export_dbnet
+
+        sd = export_dbnet(params, backbone=backbone)
+        back = convert_dbnet(sd, backbone=backbone)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(back),
+        ):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        return sd
+
+    def test_resnet18_roundtrip_and_torch_load(self):
+        import jax
+        import numpy as np
+        import torch
+
+        from ocrfa_tpu.models.dbnet import init_dbnet
+        from torch_replicas import DBNetRefModel
+
+        params = init_dbnet(jax.random.PRNGKey(6), backbone="resnet18")
+        sd = self._roundtrip(params, "resnet18")
+        model = DBNetRefModel()
+        keep = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+        missing, unexpected = model.load_state_dict(keep, strict=False)
+        missing = [m for m in missing if "num_batches_tracked" not in m]
+        # the replica is the plain-conv (dcn=None) variant, so the DCN
+        # offset convs are the only admissible extras
+        assert not missing, missing
+        assert all("conv2_offset" in k for k in unexpected), unexpected
+
+    def test_resnet50_roundtrip(self):
+        import jax
+
+        from ocrfa_tpu.models.dbnet import init_dbnet
+
+        params = init_dbnet(jax.random.PRNGKey(7), backbone="resnet50")
+        self._roundtrip(params, "resnet50")
+
+    def test_asf_roundtrip(self):
+        import jax
+
+        from ocrfa_tpu.models.dbnet import init_dbnet
+
+        params = init_dbnet(jax.random.PRNGKey(8), backbone="resnet18",
+                            decoder="asf",
+                            attention_type="scale_channel_spatial")
+        self._roundtrip(params, "resnet18")
+
+    def test_data_parallel_prefix(self):
+        import jax
+
+        from ocrfa_tpu.checkpoints import export_dbnet
+        from ocrfa_tpu.models.dbnet import init_dbnet
+
+        params = init_dbnet(jax.random.PRNGKey(9), backbone="resnet18")
+        sd = export_dbnet(params, data_parallel_prefix=True)
+        assert all(k.startswith("model.module.") for k in sd)
