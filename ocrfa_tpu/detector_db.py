@@ -168,7 +168,8 @@ class DBNetDetector:
     def binarize(hmap, threshold):
         return hmap > threshold
 
-    def boxes_from_bitmap(self, hmap, bitmap, dest_width, dest_height,
+    @staticmethod
+    def boxes_from_bitmap(hmap, bitmap, dest_width, dest_height,
                           bbox_min_score=0.2, bbox_min_size=3, max_candidates=0):
         height, width = bitmap.shape
         contours = find_contours(bitmap)
@@ -205,7 +206,8 @@ class DBNetDetector:
             scores.append(score)
         return boxes, np.array(scores, dtype=np.float32)
 
-    def polygons_from_bitmap(self, hmap, bitmap, dest_width, dest_height,
+    @staticmethod
+    def polygons_from_bitmap(hmap, bitmap, dest_width, dest_height,
                              bbox_min_score=0.2, bbox_min_size=3, max_candidates=0):
         height, width = bitmap.shape
         contours = find_contours(bitmap)

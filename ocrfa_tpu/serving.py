@@ -70,14 +70,25 @@ class ServingPipeline:
                  use_pallas: bool = False, text_threshold: float = 0.7,
                  link_threshold: float = 0.4, low_text: float = 0.4,
                  min_size: int = 20, mesh=None, detector_quantized=None,
-                 detector_calibration=None):
+                 detector_calibration=None, detector_family: str = "craft",
+                 db_backbone: str = "resnet18", db_min_size: int = 640,
+                 db_bbox_min_score: float = 0.2, db_bbox_min_size: int = 3):
         """``mesh``: replicate detector/recognizer params across a device
         mesh; page batches submitted via :meth:`submit_page_batch` then
         shard along the data axis.
 
         ``detector_quantized="static"`` runs the calibrated int8 CRAFT
         tower (:mod:`ocrfa_tpu.models.quant_craft`); pass normalised f32
-        canvases as ``detector_calibration``."""
+        canvases as ``detector_calibration``.
+
+        ``detector_family="dbnet"`` serves DBNet pages instead of CRAFT:
+        the reference's stretch-to-/32 resize + BGR normalisation run
+        on-device, and the seeds downloaded per page are the bit-packed
+        binarized mask plus a u8-quantized probability map (~4.5x smaller
+        than the f32 heatmap; box scores drift < 1/255 against the parity
+        path, ``text_threshold`` plays DBNet.py's binarize threshold).
+        ``db_min_size`` mirrors the reference MIN_DETECTION_SIZE=640 —
+        lower it for small test pages."""
         self.mesh = mesh
         self.recognizer = recognizer
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
@@ -89,6 +100,17 @@ class ServingPipeline:
         self.keep_mask = keep_mask_for(
             recognizer.converter.num_classes, recognizer.converter.ignore_idx
         )
+        self.family = detector_family
+        if detector_family == "dbnet":
+            if detector_quantized:
+                raise ValueError("detector_quantized supports craft only")
+            self.db_min_size = db_min_size
+            self.db_bbox_min_score = db_bbox_min_score
+            self.db_bbox_min_size = db_bbox_min_size
+            self._init_dbnet(detector_params, db_backbone)
+            return
+        if detector_family != "craft":
+            raise ValueError(f"unknown detector_family {detector_family!r}")
         det_apply = craft_apply
         if detector_quantized == "static":
             from ocrfa_tpu.models.quant_craft import (
@@ -142,6 +164,69 @@ class ServingPipeline:
         self._detect_batch = jax.jit(
             _detect_batch, static_argnames=("target_hw", "canvas_hw"))
 
+    def _init_dbnet(self, detector_params, backbone: str):
+        from ocrfa_tpu.detector_db import BGR_MEAN
+        from ocrfa_tpu.models.dbnet import dbnet_apply
+
+        if "concat_attention" in detector_params.get("decoder", {}):
+            from ocrfa_tpu.checkpoints import asf_attention_type
+
+            decoder, attn = "asf", asf_attention_type(detector_params)
+        else:
+            decoder, attn = "fpn", "scale_spatial"
+        if self.mesh is not None:
+            from ocrfa_tpu.parallel.mesh import replicate
+
+            detector_params = replicate(detector_params, self.mesh)
+        self.det_params = jax.device_put(detector_params)
+        bgr_mean = jnp.asarray(np.asarray(BGR_MEAN, np.float32))
+
+        def seeds(prob):
+            mask = prob > self.text_threshold
+            q = jnp.round(prob * 255.0).astype(jnp.uint8)
+            return _packbits(mask), q
+
+        def _detect(params, page_u8, *, canvas_hw):
+            page = page_u8.astype(jnp.float32)
+            # reference resize_image STRETCHES both dims to /32 multiples
+            # (no aspect pad, DBNet.py:116-130); grey -> identical BGR
+            resized = jax.image.resize(page, canvas_hw, method="bilinear")
+            bgr = jnp.broadcast_to(resized[..., None], (*canvas_hw, 3))
+            x = (bgr - bgr_mean) / 255.0
+            prob = dbnet_apply(params, x[None], backbone=backbone,
+                               decoder=decoder, attention_type=attn)[0, ..., 0]
+            return seeds(prob)
+
+        self._detect = jax.jit(_detect, static_argnames=("canvas_hw",))
+
+        def _detect_batch(params, pages_u8, *, canvas_hw):
+            n = pages_u8.shape[0]
+            pages = pages_u8.astype(jnp.float32)
+            resized = jax.image.resize(pages, (n, *canvas_hw),
+                                       method="bilinear")
+            bgr = jnp.broadcast_to(resized[..., None], (n, *canvas_hw, 3))
+            x = (bgr - bgr_mean) / 255.0
+            prob = dbnet_apply(params, x, backbone=backbone,
+                               decoder=decoder, attention_type=attn)[..., 0]
+            return seeds(prob)
+
+        self._detect_batch = jax.jit(_detect_batch,
+                                     static_argnames=("canvas_hw",))
+
+    def _canvas_hw_db(self, h: int, w: int):
+        """Reference resize_image dims (DBNet.py:116-130) with
+        ``canvas_size`` as MAX_DETECTION_SIZE."""
+        import math
+
+        ds = max(self.db_min_size, min(h, w, self.canvas_size))
+        if h < w:
+            nh = int(math.ceil(ds / 32) * 32)
+            nw = int(math.ceil(nh / h * w / 32) * 32)
+        else:
+            nw = int(math.ceil(ds / 32) * 32)
+            nh = int(math.ceil(nw / w * h / 32) * 32)
+        return (nh, nw)
+
     def _canvas_hw(self, h: int, w: int):
         target = min(self.canvas_size, max(h, w))
         ratio = target / max(h, w)
@@ -151,8 +236,13 @@ class ServingPipeline:
     def submit_page(self, page_grey_u8: np.ndarray):
         """Dispatch device work for one page; returns an opaque handle."""
         h, w = page_grey_u8.shape
-        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         page_dev = self.page_pipe.put_page(page_grey_u8)
+        if self.family == "dbnet":
+            canvas_hw = self._canvas_hw_db(h, w)
+            seeds = self._detect(self.det_params, page_dev,
+                                 canvas_hw=canvas_hw)
+            return (page_dev, seeds, (h, w))
+        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         seeds = self._detect(self.det_params, page_dev, target_hw=target_hw,
                              canvas_hw=canvas_hw)
         return (page_dev, seeds, ratio)
@@ -162,12 +252,18 @@ class ServingPipeline:
         mesh when one is configured.  Returns a list of per-page handles."""
         batch = np.stack(pages)
         h, w = batch.shape[1:]
-        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         x = jnp.asarray(batch)
         if self.mesh is not None:
             from ocrfa_tpu.parallel.mesh import shard_batch
 
             x = shard_batch(x, self.mesh)
+        if self.family == "dbnet":
+            canvas_hw = self._canvas_hw_db(h, w)
+            mask_p, hmap_q = self._detect_batch(self.det_params, x,
+                                                canvas_hw=canvas_hw)
+            return [(x[i], (mask_p[i], hmap_q[i]), (h, w))
+                    for i in range(len(pages))]
+        target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
         comb, link_only, text_over = self._detect_batch(
             self.det_params, x, target_hw=target_hw, canvas_hw=canvas_hw)
         # pages stay device-resident; recognition slices reuse them
@@ -176,6 +272,17 @@ class ServingPipeline:
 
     def detect_boxes(self, handle):
         """Detection seeds -> page-space quad boxes (pre-grouping)."""
+        if self.family == "dbnet":
+            from ocrfa_tpu.detector_db import DBNetDetector
+
+            _page_dev, (mask_p, hmap_q), (h, w) = handle
+            mask = np.unpackbits(np.asarray(mask_p), axis=-1).astype(bool)
+            hmap = np.asarray(hmap_q).astype(np.float32) / 255.0
+            boxes, scores = DBNetDetector.boxes_from_bitmap(
+                hmap, mask, w, h, bbox_min_score=self.db_bbox_min_score,
+                bbox_min_size=self.db_bbox_min_size)
+            return [np.asarray(b, np.float64) for b, s in zip(boxes, scores)
+                    if s > 0]
         _page_dev, (comb_p, link_p, over_p), ratio = handle
         comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
         link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)

@@ -180,3 +180,58 @@ class TestDynamicBatching:
             assert len(batch) == 4
         finally:
             disp.close()
+
+
+class TestDispatcherFuzz:
+    def test_concurrent_mixed_shapes_all_complete(self):
+        """Hammer the dispatcher from many threads with mixed page shapes
+        and a pipeline that fails on a marker shape: every job must get
+        either its result or the error — none dropped, none cross-wired."""
+        import threading
+
+        from ocrfa_tpu.server import PipelineDispatcher
+
+        class Pipe:
+            def submit_page(self, page):
+                if page.shape == (13, 13):
+                    raise ValueError("bad page")
+                return ("h", page.shape, int(page[0, 0]))
+
+            def submit_page_batch(self, pages):
+                return [self.submit_page(p) for p in pages]
+
+            def finish_page(self, handle):
+                return [handle[2]]
+
+        disp = PipelineDispatcher(Pipe(), depth=3, max_batch=4)
+        rng = np.random.default_rng(0)
+        shapes = [(32, 32), (16, 16), (13, 13), (64, 32)]
+        n = 40
+        results = [None] * n
+        errors = [None] * n
+
+        def worker(i):
+            shape = shapes[i % len(shapes)]
+            page = np.full(shape, i, np.uint8)
+            try:
+                results[i] = disp.submit(page, timeout=60)
+            except Exception as exc:
+                errors[i] = exc
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+            if rng.random() < 0.3:
+                threading.Event().wait(0.002)
+        for t in threads:
+            t.join(timeout=60)
+        disp.close()
+
+        for i in range(n):
+            if shapes[i % len(shapes)] == (13, 13):
+                assert isinstance(errors[i], ValueError), (i, results[i])
+            else:
+                # payload round-trips: job i's result carries page value i
+                assert results[i] == [i], (i, results[i], errors[i])
+        assert disp.stats["pages"] + 10 == n  # 10 markers failed dispatch

@@ -139,3 +139,84 @@ class TestMultichipServeScript:
         m = json.loads(out.read_text())
         assert m["pages"] == 8 and m["devices"] == 8
         assert m["pages_per_sec"] > 0
+
+
+class TestDBNetServing:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.models.dbnet import init_dbnet
+        from ocrfa_tpu.pipeline import Recognizer
+        from ocrfa_tpu.serving import ServingPipeline
+
+        conv = CTCLabelConverter("ابتث")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64), conv)
+        params = init_dbnet(jax.random.PRNGKey(1), backbone="resnet18")
+        return ServingPipeline(params, rec, canvas_size=96,
+                               detector_family="dbnet", db_min_size=64,
+                               text_threshold=0.0, db_bbox_min_score=0.0)
+
+    def test_end_to_end_page(self, pipe):
+        page = np.full((80, 96), 240, dtype=np.uint8)
+        page[30:44, 10:80] = 15
+        results = pipe.finish_page(pipe.submit_page(page))
+        assert isinstance(results, list)
+        for quad, text, conf in results:
+            assert len(quad) == 4 and isinstance(text, str)
+
+    def test_boxes_within_page(self, pipe):
+        page = np.full((80, 96), 220, dtype=np.uint8)
+        boxes = pipe.detect_boxes(pipe.submit_page(page))
+        for b in boxes:
+            arr = np.asarray(b, np.float64)
+            assert arr.shape == (4, 2)
+            assert (arr[:, 0] >= 0).all() and (arr[:, 0] <= 96).all()
+            assert (arr[:, 1] >= 0).all() and (arr[:, 1] <= 80).all()
+
+    def test_seed_mask_matches_quantized_hmap(self, pipe):
+        page = np.random.default_rng(3).integers(
+            0, 255, (64, 64), dtype=np.uint8)
+        _page_dev, (mask_p, hmap_q), _ = pipe.submit_page(page)
+        mask = np.unpackbits(np.asarray(mask_p), axis=-1).astype(bool)
+        hmap = np.asarray(hmap_q).astype(np.float32) / 255.0
+        # mask came from the f32 prob; outside the quantization step of the
+        # threshold the u8 map must agree with it
+        margin = np.abs(hmap - pipe.text_threshold) > 1.0 / 255.0
+        np.testing.assert_array_equal(
+            mask[margin], (hmap > pipe.text_threshold)[margin])
+
+    def test_batch_matches_single(self, pipe):
+        pages = [np.random.default_rng(i).integers(0, 255, (64, 64), np.uint8)
+                 for i in range(2)]
+        singles = [pipe.detect_boxes(pipe.submit_page(p)) for p in pages]
+        batched = [pipe.detect_boxes(h)
+                   for h in pipe.submit_page_batch(pages)]
+        for s, b in zip(singles, batched):
+            assert len(s) == len(b)
+            for sa, ba in zip(s, b):
+                np.testing.assert_allclose(np.asarray(sa), np.asarray(ba))
+
+    def test_rejects_quantized_combo(self):
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.models.dbnet import init_dbnet
+        from ocrfa_tpu.pipeline import Recognizer
+        from ocrfa_tpu.serving import ServingPipeline
+
+        conv = CTCLabelConverter("اب")
+        rec = Recognizer(
+            init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
+                           output_channel=64, hidden_size=64), conv)
+        params = init_dbnet(jax.random.PRNGKey(1), backbone="resnet18")
+        with pytest.raises(ValueError):
+            ServingPipeline(params, rec, detector_family="dbnet",
+                            detector_quantized="static")
+        with pytest.raises(ValueError):
+            ServingPipeline(params, rec, detector_family="nope")
