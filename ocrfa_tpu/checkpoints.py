@@ -126,16 +126,10 @@ def export_crnn_gen1(params) -> dict:
     sd = {}
 
     def put_conv(prefix, p):
-        sd[prefix + ".weight"] = np.transpose(_to_numpy(p["w"]), (3, 2, 0, 1))
-        if "b" in p:
-            sd[prefix + ".bias"] = _to_numpy(p["b"])
+        _put_conv(sd, prefix, p)
 
     def put_bn(prefix, p):
-        sd[prefix + ".weight"] = _to_numpy(p["scale"])
-        sd[prefix + ".bias"] = _to_numpy(p["bias"])
-        sd[prefix + ".running_mean"] = _to_numpy(p["mean"])
-        sd[prefix + ".running_var"] = _to_numpy(p["var"])
-        sd[prefix + ".num_batches_tracked"] = np.array(0, dtype=np.int64)
+        _put_bn(sd, prefix, p)
 
     def put_bilstm(prefix, p):
         for ours, theirs in (

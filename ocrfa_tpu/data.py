@@ -32,7 +32,8 @@ class SyntheticFarsiLines:
 
     def __init__(self, charset: str, batch_size: int = 32, width: int = 256,
                  height: int = 64, glyph_w: int = 24, min_len: int = 2,
-                 max_len: int | None = None, noise: float = 0.05, seed: int = 0):
+                 max_len: int | None = None, noise: float = 0.05, seed: int = 0,
+                 font: dict | None = None):
         self.charset = charset
         self.batch_size = batch_size
         self.width = width
@@ -42,11 +43,18 @@ class SyntheticFarsiLines:
         self.max_len = max_len or max(min_len + 1, width // glyph_w)
         self.noise = noise
         self._rng = np.random.default_rng(seed)
-        font_rng = np.random.default_rng(seed + 1)
-        self.font = {
-            c: (font_rng.random((height, glyph_w)) > 0.6).astype(np.float32)
-            for c in charset
-        }
+        # the font derives from the seed, so two datasets with different
+        # seeds render DIFFERENT alphabets — a held-out eval set must share
+        # the training font (pass font=train_ds.font) or it tests the model
+        # on glyphs it has never seen
+        if font is not None:
+            self.font = font
+        else:
+            font_rng = np.random.default_rng(seed + 1)
+            self.font = {
+                c: (font_rng.random((height, glyph_w)) > 0.6).astype(np.float32)
+                for c in charset
+            }
         # CTC label ids: charset char i -> i + 1 (0 = blank)
         self.char_to_id = {c: i + 1 for i, c in enumerate(charset)}
 

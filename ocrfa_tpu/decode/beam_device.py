@@ -168,8 +168,10 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
             new_node), None
 
 
-@partial(jax.jit, static_argnames=("beam_width", "topk", "lm_factor",
-                                   "sep_idx", "oov_penalty", "word_bonus"))
+# only the shape-determining knobs are static; lm_factor/sep_idx/
+# oov_penalty/word_bonus trace as scalars so sweeping them (e.g. the
+# eval_lexicon OOV-penalty sweep) reuses one compiled program
+@partial(jax.jit, static_argnames=("beam_width", "topk"))
 def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
                            lm_log=None, lm_factor: float = 0.3,
                            trie_trans=None, trie_word=None, sep_idx: int = -1,

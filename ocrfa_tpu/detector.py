@@ -39,24 +39,16 @@ class CraftDetector:
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.canvas_bucket = canvas_bucket
-        apply_fn = craft_apply
-        if quantized == "static":
-            from ocrfa_tpu.models.quant_craft import (
-                calibrate_craft,
-                craft_apply_int8_static,
-                quantize_craft_static,
-            )
+        if quantized:
+            from ocrfa_tpu.models.quant_craft import resolve_craft_inference
 
-            if not calibration_batches:
-                raise ValueError(
-                    "quantized='static' needs calibration_batches")
-            amax = calibrate_craft(params, calibration_batches)
-            params = quantize_craft_static(params, amax)
-            apply_fn = craft_apply_int8_static
-        elif quantized:
-            raise ValueError(f"unknown quantized mode {quantized!r}")
-        elif compute_dtype != jnp.float32:
-            params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
+            params, apply_fn = resolve_craft_inference(
+                params, quantized, calibration_batches)
+        else:
+            apply_fn = craft_apply
+            if compute_dtype != jnp.float32:
+                params = jax.tree.map(
+                    lambda a: jnp.asarray(a, compute_dtype), params)
         if mesh is not None:
             from ocrfa_tpu.parallel.mesh import replicate
 

@@ -171,6 +171,25 @@ def _conv_int8_static(x, q, padding=0, dilation=1):
     return y.astype(jnp.bfloat16)
 
 
+def resolve_craft_inference(params, quantized=None, calibration_batches=None):
+    """Resolve ``(params, apply_fn)`` for the requested quantization mode.
+
+    Shared by :class:`~ocrfa_tpu.detector.CraftDetector` and
+    :class:`~ocrfa_tpu.serving.ServingPipeline` so the mode validation and
+    calibration flow cannot drift between them.
+    """
+    from ocrfa_tpu.models.craft import craft_apply
+
+    if not quantized:
+        return params, craft_apply
+    if quantized != "static":
+        raise ValueError(f"unknown quantized mode {quantized!r}")
+    if not calibration_batches:
+        raise ValueError("quantized='static' needs calibration batches")
+    amax = calibrate_craft(params, calibration_batches)
+    return quantize_craft_static(params, amax), craft_apply_int8_static
+
+
 def craft_apply_int8_static(qparams, x):
     """Static-int8 CRAFT forward; same signature/returns as
     ``craft.craft_apply`` (heatmaps in f32)."""

@@ -142,10 +142,9 @@ class Recognizer:
             )
             return prefixes, lengths, ctc_confidences(indices, values)
 
-        self._apply_beam = jax.jit(
-            _fused_beam,
-            static_argnames=("beam_width", "sep_idx", "oov_penalty",
-                             "word_bonus"))
+        # beam_width alone is static: the penalty/separator knobs trace as
+        # scalars, so an OOV-penalty sweep reuses one compiled program
+        self._apply_beam = jax.jit(_fused_beam, static_argnames=("beam_width",))
 
     def logits(self, batch: np.ndarray) -> jax.Array:
         """(N, H, W, 1) float32 crops -> (N, T, C) logits (f32)."""

@@ -102,21 +102,28 @@ class PipelineDispatcher:
                 group.append(jobs[i + len(group)])
             i += len(group)
             batchable = hasattr(self.pipeline, "submit_page_batch")
-            try:
-                if len(group) == 1 or not batchable:
-                    handles = [self.pipeline.submit_page(j.page)
-                               for j in group]
-                else:
+            if len(group) == 1 or not batchable:
+                # per-job submits fail individually — one bad page must
+                # not error jobs whose dispatch already succeeded
+                for j in group:
+                    try:
+                        out.append((j, self.pipeline.submit_page(j.page)))
+                        self.stats["pages"] += 1
+                    except Exception as exc:  # malformed page, OOM, ...
+                        j.error = exc
+                        j.event.set()
+            else:
+                try:
                     handles = self.pipeline.submit_page_batch(
                         [j.page for j in group])
                     self.stats["batches"] += 1
                     self.stats["batched_pages"] += len(group)
-                self.stats["pages"] += len(group)
-                out.extend(zip(group, handles))
-            except Exception as exc:  # malformed page, OOM, ...
-                for j in group:
-                    j.error = exc
-                    j.event.set()
+                    self.stats["pages"] += len(group)
+                    out.extend(zip(group, handles))
+                except Exception as exc:  # whole batch dispatch failed
+                    for j in group:
+                        j.error = exc
+                        j.event.set()
         return out
 
     def _run(self):
@@ -143,6 +150,9 @@ class PipelineDispatcher:
 def _decode_body(handler) -> np.ndarray:
     length = int(handler.headers.get("Content-Length", 0))
     body = handler.rfile.read(length)
+    if bool(handler.headers.get("X-Height")) != bool(handler.headers.get("X-Width")):
+        raise ValueError("set both X-Height and X-Width for raw greyscale "
+                         "bodies (or neither for an encoded image)")
     if handler.headers.get("X-Height") and handler.headers.get("X-Width"):
         h = int(handler.headers["X-Height"])
         w = int(handler.headers["X-Width"])
@@ -206,6 +216,9 @@ def make_handler(dispatcher: PipelineDispatcher, auth=None):
                 results = dispatcher.submit(page)
             except TimeoutError as exc:
                 self._reply(503, {"error": str(exc)})
+                return
+            except queue.Full:
+                self._reply(503, {"error": "server overloaded (queue full)"})
                 return
             except Exception as exc:
                 self._reply(400, {"error": str(exc)})

@@ -33,6 +33,9 @@ _SERVICE = "ocrfa.OCRService"
 
 
 def _decode_request(req: ocr_pb2.OCRRequest) -> np.ndarray:
+    if bool(req.height) != bool(req.width):
+        raise ValueError("set both height and width for raw greyscale "
+                         "pixels (or neither for an encoded image)")
     if req.height and req.width:
         if req.height * req.width != len(req.image):
             raise ValueError(
@@ -82,7 +85,10 @@ class OCRGrpcServer:
             meta = dict(context.invocation_metadata())
             token = auth.bearer(meta.get("authorization")
                                 or meta.get("x-api-key"))
-            verdict = auth.check(token, caller=context.peer())
+            # peer() is 'ipv4:addr:port' — strip the ephemeral port or
+            # every new connection gets a fresh rate bucket
+            caller = context.peer().rsplit(":", 1)[0]
+            verdict = auth.check(token, caller=caller)
             if verdict == "unauthenticated":
                 context.abort(grpc.StatusCode.UNAUTHENTICATED,
                               "invalid or missing API key")
@@ -91,12 +97,17 @@ class OCRGrpcServer:
                               "rate limit exceeded")
 
         def recognize(request, context):
+            import queue
+
             _authorize(context)
             try:
                 page = _decode_request(request)
                 return _encode_results(self.dispatcher.submit(page))
             except (ValueError, OSError) as exc:
                 context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(exc))
+            except queue.Full:
+                context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED,
+                              "server overloaded (queue full)")
             except TimeoutError as exc:
                 context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, str(exc))
 

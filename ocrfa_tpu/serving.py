@@ -72,7 +72,8 @@ class ServingPipeline:
                  min_size: int = 20, mesh=None, detector_quantized=None,
                  detector_calibration=None, detector_family: str = "craft",
                  db_backbone: str = "resnet18", db_min_size: int = 640,
-                 db_bbox_min_score: float = 0.2, db_bbox_min_size: int = 3):
+                 db_threshold: float = 0.2, db_bbox_min_score: float = 0.2,
+                 db_bbox_min_size: int = 3):
         """``mesh``: replicate detector/recognizer params across a device
         mesh; page batches submitted via :meth:`submit_page_batch` then
         shard along the data axis.
@@ -86,7 +87,9 @@ class ServingPipeline:
         on-device, and the seeds downloaded per page are the bit-packed
         binarized mask plus a u8-quantized probability map (~4.5x smaller
         than the f32 heatmap; box scores drift < 1/255 against the parity
-        path, ``text_threshold`` plays DBNet.py's binarize threshold).
+        path; ``db_threshold`` is DBNet.py's binarize threshold, default
+        0.2 like the reference — CRAFT's ``text_threshold`` does not
+        apply).
         ``db_min_size`` mirrors the reference MIN_DETECTION_SIZE=640 —
         lower it for small test pages."""
         self.mesh = mesh
@@ -105,29 +108,20 @@ class ServingPipeline:
             if detector_quantized:
                 raise ValueError("detector_quantized supports craft only")
             self.db_min_size = db_min_size
+            self.db_threshold = db_threshold
             self.db_bbox_min_score = db_bbox_min_score
             self.db_bbox_min_size = db_bbox_min_size
             self._init_dbnet(detector_params, db_backbone)
             return
         if detector_family != "craft":
             raise ValueError(f"unknown detector_family {detector_family!r}")
-        det_apply = craft_apply
-        if detector_quantized == "static":
-            from ocrfa_tpu.models.quant_craft import (
-                calibrate_craft,
-                craft_apply_int8_static,
-                quantize_craft_static,
-            )
+        if detector_quantized:
+            from ocrfa_tpu.models.quant_craft import resolve_craft_inference
 
-            if not detector_calibration:
-                raise ValueError(
-                    "detector_quantized='static' needs detector_calibration")
-            amax = calibrate_craft(detector_params, detector_calibration)
-            detector_params = quantize_craft_static(detector_params, amax)
-            det_apply = craft_apply_int8_static
-        elif detector_quantized:
-            raise ValueError(
-                f"unknown detector_quantized mode {detector_quantized!r}")
+            detector_params, det_apply = resolve_craft_inference(
+                detector_params, detector_quantized, detector_calibration)
+        else:
+            det_apply = craft_apply
         if mesh is not None:
             from ocrfa_tpu.parallel.mesh import replicate
 
@@ -182,7 +176,7 @@ class ServingPipeline:
         bgr_mean = jnp.asarray(np.asarray(BGR_MEAN, np.float32))
 
         def seeds(prob):
-            mask = prob > self.text_threshold
+            mask = prob > self.db_threshold
             q = jnp.round(prob * 255.0).astype(jnp.uint8)
             return _packbits(mask), q
 

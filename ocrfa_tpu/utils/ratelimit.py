@@ -100,6 +100,12 @@ class AuthPolicy:
         if self.api_keys is not None and token not in self.api_keys:
             return "unauthenticated"
         if self.limiter is not None:
-            if not self.limiter.try_acquire(token or caller or "anonymous"):
+            # bucket key: the token only once it has been VALIDATED against
+            # api_keys (above) — with auth disabled, keying on a
+            # client-supplied token would let callers rotate tokens for a
+            # fresh bucket each request, so fall back to the caller address
+            key = token if self.api_keys is not None else (
+                caller or "anonymous")
+            if not self.limiter.try_acquire(key):
                 return "rate_limited"
         return None

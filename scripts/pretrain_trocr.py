@@ -85,8 +85,11 @@ def main(argv=None):
 
     data = SyntheticFarsiLines(charset, batch_size=args.batch,
                                width=args.width, seed=0)
+    # held-out TEXT stream, same font as training (a different seed alone
+    # would also change the glyphs and test an unseen alphabet)
     eval_data = SyntheticFarsiLines(charset, batch_size=args.eval_lines,
-                                    width=args.width, seed=10_000)
+                                    width=args.width, seed=10_000,
+                                    font=data.font)
     max_label = data.max_len
 
     params = init_trocr(jax.random.PRNGKey(0), num_class=num_class,

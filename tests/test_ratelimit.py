@@ -167,3 +167,49 @@ class TestGrpcServerAuth:
             # health probe needs no key
             assert OCRClient(f"127.0.0.1:{srv.port}").health()["ok"]
             good.close()
+
+
+class TestReviewRegressions:
+    def test_token_rotation_cannot_bypass_limit(self):
+        """With auth disabled the bucket keys on the caller, not on a
+        client-supplied token (rotating tokens must not reset the bucket)."""
+        clock = FakeClock()
+        p = AuthPolicy(api_keys=None, rate=1.0, burst=2.0, clock=clock)
+        assert p.check("tok-1", caller="1.2.3.4") is None
+        assert p.check("tok-2", caller="1.2.3.4") is None
+        assert p.check("tok-3", caller="1.2.3.4") == "rate_limited"
+
+    def test_grpc_peer_port_stripped(self):
+        """New connections (fresh ephemeral ports) share one bucket."""
+        grpc = pytest.importorskip("grpc")
+        from ocrfa_tpu.server_grpc import OCRClient, OCRGrpcServer
+
+        clock = FakeClock()
+        auth = AuthPolicy(rate=1.0, burst=2.0, clock=clock)
+        page = np.zeros((4, 4), np.uint8)
+        with OCRGrpcServer(FakePipeline(), port=0, auth=auth) as srv:
+            for i in range(3):
+                c = OCRClient(f"127.0.0.1:{srv.port}", timeout=30)
+                if i < 2:
+                    c.recognize(page)
+                else:
+                    with pytest.raises(grpc.RpcError) as err:
+                        c.recognize(page)
+                    assert (err.value.code()
+                            == grpc.StatusCode.RESOURCE_EXHAUSTED)
+                c.close()
+
+    def test_partial_dims_rejected_http(self):
+        import http.client
+
+        from ocrfa_tpu.server import OCRServer
+
+        with OCRServer(FakePipeline(), port=0) as srv:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port,
+                                              timeout=30)
+            conn.request("POST", "/ocr", body=b"\x00" * 16,
+                         headers={"X-Height": "4"})
+            resp = conn.getresponse()
+            body = json.loads(resp.read())
+            conn.close()
+            assert resp.status == 400 and "X-Width" in body["error"]

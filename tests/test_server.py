@@ -235,3 +235,61 @@ class TestDispatcherFuzz:
                 # payload round-trips: job i's result carries page value i
                 assert results[i] == [i], (i, results[i], errors[i])
         assert disp.stats["pages"] + 10 == n  # 10 markers failed dispatch
+
+
+class TestSinglesFailureIsolation:
+    def test_bad_page_fails_alone_without_batch_support(self):
+        """Non-batchable pipeline: a raising submit must error only its own
+        job, not same-shape neighbours dispatched in the same drain."""
+        import threading
+
+        from ocrfa_tpu.server import PipelineDispatcher
+
+        class Pipe:  # no submit_page_batch
+            def __init__(self):
+                self.release = threading.Event()
+
+            def submit_page(self, page):
+                if int(page[0, 0]) == 2:
+                    raise ValueError("bad page")
+                return int(page[0, 0])
+
+            def finish_page(self, handle):
+                self.release.wait(30)
+                return [handle]
+
+        pipe = Pipe()
+        disp = PipelineDispatcher(pipe, depth=1, max_batch=8)
+        try:
+            results = [None] * 4
+            errors = [None] * 4
+
+            def worker(i):
+                try:
+                    results[i] = disp.submit(
+                        np.full((8, 8), i, np.uint8), timeout=60)
+                except Exception as exc:
+                    errors[i] = exc
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(4)]
+            threads[0].start()
+            for _ in range(200):
+                if disp.qsize() == 0 and results[0] is None:
+                    break
+                threading.Event().wait(0.01)
+            for t in threads[1:]:
+                t.start()
+            for _ in range(200):
+                if disp.qsize() == 3:
+                    break
+                threading.Event().wait(0.01)
+            pipe.release.set()
+            for t in threads:
+                t.join(timeout=60)
+            assert results[0] == [0] and results[1] == [1]
+            assert isinstance(errors[2], ValueError)
+            assert results[3] == [3]
+        finally:
+            pipe.release.set()
+            disp.close()

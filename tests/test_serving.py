@@ -159,7 +159,7 @@ class TestDBNetServing:
         params = init_dbnet(jax.random.PRNGKey(1), backbone="resnet18")
         return ServingPipeline(params, rec, canvas_size=96,
                                detector_family="dbnet", db_min_size=64,
-                               text_threshold=0.0, db_bbox_min_score=0.0)
+                               db_threshold=0.0, db_bbox_min_score=0.0)
 
     def test_end_to_end_page(self, pipe):
         page = np.full((80, 96), 240, dtype=np.uint8)
@@ -186,9 +186,9 @@ class TestDBNetServing:
         hmap = np.asarray(hmap_q).astype(np.float32) / 255.0
         # mask came from the f32 prob; outside the quantization step of the
         # threshold the u8 map must agree with it
-        margin = np.abs(hmap - pipe.text_threshold) > 1.0 / 255.0
+        margin = np.abs(hmap - pipe.db_threshold) > 1.0 / 255.0
         np.testing.assert_array_equal(
-            mask[margin], (hmap > pipe.text_threshold)[margin])
+            mask[margin], (hmap > pipe.db_threshold)[margin])
 
     def test_batch_matches_single(self, pipe):
         pages = [np.random.default_rng(i).integers(0, 255, (64, 64), np.uint8)
