@@ -150,7 +150,7 @@ class TestBoxesFromBitmapGolden:
         dest_w, dest_h = 448, 320
 
         ours = DBNetDetector.boxes_from_bitmap(
-            None, hmap, bitmap, dest_w, dest_h,
+            hmap, bitmap, dest_w, dest_h,
             bbox_min_score=0.2, bbox_min_size=3, max_candidates=0)
         ref = ref_dbnet.boxes_from_bitmap(
             torch.from_numpy(hmap)[None], torch.from_numpy(bitmap)[None],
@@ -165,7 +165,7 @@ class TestBoxesFromBitmapGolden:
         hmap = np.zeros((64, 64), dtype=np.float32)
         hmap[10:13, 10:13] = 0.9  # below bbox_min_size after unclip
         bitmap = hmap > 0.3
-        ours = DBNetDetector.boxes_from_bitmap(None, hmap, bitmap, 64, 64,
+        ours = DBNetDetector.boxes_from_bitmap(hmap, bitmap, 64, 64,
                                                bbox_min_size=30)
         ref = ref_dbnet.boxes_from_bitmap(
             torch.from_numpy(hmap)[None], torch.from_numpy(bitmap)[None],
@@ -181,7 +181,7 @@ class TestPolygonsFromBitmapGolden:
         dest_w, dest_h = 448, 320
 
         ours = DBNetDetector.polygons_from_bitmap(
-            None, hmap, bitmap, dest_w, dest_h,
+            hmap, bitmap, dest_w, dest_h,
             bbox_min_score=0.2, bbox_min_size=3, max_candidates=0)
         ref = ref_dbnet.polygons_from_bitmap(
             torch.from_numpy(hmap)[None], torch.from_numpy(bitmap)[None],
