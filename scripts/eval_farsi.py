@@ -57,7 +57,12 @@ def render_crop(text, font, glyph_w, h=64, margin: int = 0):
 
 
 def sample_texts(rng, charset, n, min_len=2, max_len=9):
-    return ["".join(rng.choice(list(charset), size=rng.integers(min_len, max_len + 1)))
+    # whitespace renders blank (make_font), so random character lines must
+    # not sample it — an invisible glyph in arbitrary position is
+    # unlearnable and just inflates CER; word-structured evals place
+    # spaces deliberately instead (eval_lexicon)
+    pool = [c for c in charset if not c.isspace()]
+    return ["".join(rng.choice(pool, size=rng.integers(min_len, max_len + 1)))
             for _ in range(n)]
 
 
@@ -87,18 +92,30 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     rng = np.random.default_rng(seed)
     font = make_font(charset, rng, glyph_w)
 
+    default_samplers = pool_sampler is None and short_sampler is None
     if pool_sampler is None:
         pool_sampler = lambda r, n: sample_texts(r, charset, n)
     if short_sampler is None:
         short_sampler = lambda r, n: sample_texts(r, charset, n,
                                                   min_len=1, max_len=3)
-
-    short_texts = [short_sampler(rng, batch)
-                   for _ in range(max(train_pool // 4, 2))]
+    # Length-ladder curriculum (defaults only; custom samplers manage their
+    # own): CTC alignment over the 184-glyph charset locks in reliably on
+    # 1-3 char lines but dies on a hard jump to full length (loss spikes
+    # ~200, collapses to all-blanks ~30, never recovers), and even a
+    # blended jump re-aligns too slowly.  Each ladder rung extends max_len
+    # a little, so alignment for length L+1 is a small perturbation of the
+    # already-locked length-L solution.
+    ladder_specs = [(2, 5), (2, 7), (2, 9)] if default_samplers else []
+    n_short = max(train_pool // 4, 2)
+    short_texts = [short_sampler(rng, batch) for _ in range(n_short)]
+    ladder_texts = [[sample_texts(rng, charset, batch, min_len=lo, max_len=hi)
+                     for _ in range(n_short)]
+                    for lo, hi in ladder_specs[:-1]]
     pool_texts = [pool_sampler(rng, batch) for _ in range(train_pool)]
 
     # train on device-resident batches (uploaded once)
-    longest = max(len(t) for b in short_texts + pool_texts for t in b)
+    all_text_batches = short_texts + [b for r in ladder_texts for b in r] + pool_texts
+    longest = max(len(t) for b in all_text_batches for t in b)
     width = glyph_w * longest + 16  # widest training line + margins
     width = -(-width // 64) * 64
 
@@ -128,6 +145,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # unreliable on long lines from scratch — short lines (1-3 chars) make
     # it deterministic, then the full-length pool takes over
     short = [render_batch(t) for t in short_texts]
+    ladder = [[render_batch(t) for t in r] for r in ladder_texts]
     pool = [render_batch(t) for t in pool_texts]
     max_l = max(b[1].shape[1] for b in pool + short)
 
@@ -138,18 +156,48 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                  jax.device_put(jnp.asarray(ln))) for im, lb, ln in batches]
 
     short, pool = put(short), put(pool)
+    ladder = [put(r) for r in ladder]
 
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
                             output_channel=oc, hidden_size=hs)
-    opt = make_optimizer(lr)
+    import optax
+
+    # refine with a decayed LR once the ladder has reached full length —
+    # late training is refinement, and a hot constant LR keeps kicking the
+    # alignment around
+    sched = optax.join_schedules(
+        [optax.constant_schedule(lr),
+         optax.linear_schedule(lr, lr / 3.0, max(steps // 5, 1))],
+        [max(int(steps * 0.8), 1)])
+    opt = make_optimizer(sched)
     state = opt.init(params)
     step = make_train_step(opt)
 
     t0 = time.time()
     loss = float("nan")
-    warm = min(steps // 4, 1500)
+    # rungs: short (1-3) -> each ladder pool -> full-length pool, walked by
+    # training fraction with a blended hand-off between adjacent rungs and
+    # a 15% short-line anchor forever (blank-collapse is punished instantly
+    # on 1-3 char lines, so alignment can't silently die on the long tail)
+    rungs = [short] + ladder + [pool]
+    warm_f = 0.1  # fraction of steps on rung 0 alone
+    mix_rng = np.random.default_rng(seed + 1)
     for i in range(steps):
-        src = short if i < warm else pool
+        f = i / steps
+        if f < warm_f or len(rungs) == 1:
+            src = rungs[0]
+        else:
+            # position along the ladder: reach the last rung by 45% of
+            # training — the full-length pool needs a long full-LR tail
+            # (the one observed full lock-in took ~6k steps on the pool)
+            pos = min(1.0, (f - warm_f) / (0.45 - warm_f)) * (len(rungs) - 1)
+            base = min(int(pos), len(rungs) - 2)
+            frac = pos - base
+            r = mix_rng.random()
+            if r < 0.15:
+                src = rungs[0]
+            else:
+                src = rungs[base + 1] if mix_rng.random() < frac else rungs[base]
         im, lb, ln = src[i % len(src)]
         params, state, loss = step(params, state, im, lb, ln)
         if verbose and i % 100 == 0:

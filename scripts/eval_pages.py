@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--lines-per-page", type=int, default=8)
     ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset")
     ap.add_argument("--page-width", type=int, default=640)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (CTC lock-in over 184 classes is "
+                         "seed-sensitive; retry with another seed if the "
+                         "loss plateaus ~27)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon overrides JAX_PLATFORMS)")
     ap.add_argument("--out", type=str, default=None)
@@ -127,7 +131,8 @@ def main():
         charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
         oc = hs = 512
     params, conv, font, loss, calib = train_gen1(
-        charset, steps=args.steps, oc=oc, hs=hs, glyph_w=glyph_w)
+        charset, steps=args.steps, oc=oc, hs=hs, glyph_w=glyph_w,
+        seed=args.seed)
     recognizer = Recognizer(params, conv)
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
 
@@ -198,6 +203,40 @@ def main():
         miss_host += a_miss
         miss_dev += b_miss
 
+    # ---- 3. DBNet serving drift (host PIL stretch + f32 scores vs device
+    # resize + bit-packed mask + u8 scores) -------------------------------
+    from ocrfa_tpu.detector_db import DBNetDetector
+    from ocrfa_tpu.models.dbnet import init_dbnet
+
+    db_params = init_dbnet(jax.random.PRNGKey(1), backbone="resnet18")
+    det_db = DBNetDetector(db_params)
+    rgb0 = np.stack([pages[0]] * 3, axis=-1)
+    norm0, shape0 = det_db.load_image(rgb0.astype(np.float32),
+                                      detection_size=args.page_width)
+    prob0 = det_db.image2hmap(norm0[None])[0]
+    # random-init DBNet probabilities are near-flat: a 0.98-quantile
+    # threshold leaves only specks below bbox_min_size (zero boxes on both
+    # paths); 0.9 yields blob-scale components on this net
+    db_threshold = float(np.quantile(prob0, 0.9))
+
+    db_serving = ServingPipeline(
+        db_params, recognizer, canvas_size=args.page_width,
+        detector_family="dbnet", db_min_size=args.page_width,
+        db_threshold=db_threshold, db_bbox_min_score=0.0)
+
+    db_ious, db_miss_host, db_miss_dev = [], 0, 0
+    for page in pages:
+        rgb = np.stack([page] * 3, axis=-1).astype(np.float32)
+        boxes_h = det_db.inference(rgb, text_threshold=db_threshold,
+                                   bbox_min_score=0.0,
+                                   detection_size=args.page_width)[0]
+        boxes_h = [b for b in boxes_h if np.asarray(b).any()]
+        boxes_d = db_serving.detect_boxes(db_serving.submit_page(page))
+        ious, a_miss, b_miss = match_boxes(boxes_h, boxes_d)
+        db_ious += ious
+        db_miss_host += a_miss
+        db_miss_dev += b_miss
+
     metrics = {
         "pages": args.pages,
         "lines_per_page": args.lines_per_page,
@@ -216,6 +255,11 @@ def main():
         "det_boxes_only_device": miss_dev,
         "det_matched_iou_mean": round(float(np.mean(all_ious)) if all_ious else 0.0, 4),
         "det_matched_iou_min": round(float(np.min(all_ious)) if all_ious else 0.0, 4),
+        "db_det_boxes_matched": len(db_ious),
+        "db_det_boxes_only_host": db_miss_host,
+        "db_det_boxes_only_device": db_miss_dev,
+        "db_det_matched_iou_mean": round(float(np.mean(db_ious)) if db_ious else 0.0, 4),
+        "db_det_matched_iou_min": round(float(np.min(db_ious)) if db_ious else 0.0, 4),
     }
     print(json.dumps(metrics, indent=2))
     if args.out:
