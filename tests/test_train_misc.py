@@ -44,3 +44,50 @@ class TestCTCLoss:
         g = jax.grad(lambda lg: ctc_loss(lg, labels, lengths))(logits)
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).max() > 0
+
+
+class TestStreamingTrainer:
+    def test_train_gen1_streams_and_returns_calibrated_params(self):
+        """The streaming trainer (scripts/eval_farsi.train_gen1) must run
+        its producer thread to completion, train on fresh u8 batches, and
+        return inference-calibrated params + normalized f32 calib batches."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        import jax
+        import jax.numpy as jnp
+        from eval_farsi import train_gen1
+
+        from ocrfa_tpu.models.crnn import crnn_apply
+
+        charset = "ابت"
+        params, conv, font, loss, calib = train_gen1(
+            charset, steps=5, batch=4, oc=16, hs=16, glyph_w=8,
+            verbose=False, reuse=2)
+        assert np.isfinite(float(loss))
+        assert len(calib) == 2
+        # calib batches are normalized f32 in [-1, 1]
+        assert calib[0].dtype == np.float32
+        assert calib[0].min() >= -1.0 and calib[0].max() <= 1.0
+        # BN running stats were calibrated (non-init var) and the model
+        # runs in inference mode
+        logits = crnn_apply(params, jnp.asarray(calib[0][:2]))
+        assert logits.shape[0] == 2
+        assert logits.shape[2] == conv.num_classes
+        assert bool(jnp.all(jnp.isfinite(logits)))
+
+    def test_sample_texts_space_structure(self):
+        """Spaces are interior-only, never leading/trailing/adjacent."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        from eval_farsi import sample_texts
+
+        rng = np.random.default_rng(0)
+        texts = sample_texts(rng, "ابت ", 200)
+        for t in texts:
+            assert not t.startswith(" ") and not t.endswith(" ")
+            assert "  " not in t
+            assert t.count(" ") <= 1
