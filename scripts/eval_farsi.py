@@ -37,21 +37,51 @@ import numpy as np
 def make_font(chars, rng, glyph_w, h=64):
     """One fixed random glyph bitmap per character (dark on white);
     whitespace renders blank (real word gaps, needed for word-level
-    decode evals)."""
-    return {c: (np.full((h, glyph_w), 255, np.uint8) if c.isspace()
-                else 255 - (rng.random((h, glyph_w)) > 0.6).astype(np.uint8) * 255)
-            for c in chars}
+    decode evals).
+
+    Glyphs are LOW-FREQUENCY ink blobs (thresholded smoothed noise), not
+    per-pixel speckle: real type is made of smooth strokes, and a pooled
+    conv tower can template-match blobs robustly.  Per-pixel white-noise
+    glyphs were a trap — discriminating 184 noise bitmaps through /4-/8
+    pooling is so gradient-hostile that production-scale training
+    reliably preferred sequence memorization over reading (held-out loss
+    pinned at the entropy floor across every curriculum/replay variant;
+    one 8k-step run that did generalize proved seed-lottery)."""
+    font = {}
+    for c in chars:
+        if c.isspace():
+            font[c] = np.full((h, glyph_w), 255, np.uint8)
+            continue
+        # smooth noise: coarse random grid, bilinearly upsampled
+        cell = 8
+        coarse = rng.random((h // cell + 2, glyph_w // cell + 2))
+        ys = np.linspace(0, coarse.shape[0] - 1.001, h)
+        xs = np.linspace(0, coarse.shape[1] - 1.001, glyph_w)
+        y0, x0 = ys.astype(int), xs.astype(int)
+        fy, fx = (ys - y0)[:, None], (xs - x0)[None, :]
+        up = (coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+              + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+              + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+              + coarse[y0 + 1][:, x0 + 1] * fy * fx)
+        ink = up > np.quantile(up, 0.6)  # ~40% ink coverage, blob-shaped
+        font[c] = 255 - ink.astype(np.uint8) * 255
+    return font
 
 
-def render_crop(text, font, glyph_w, h=64, margin: int = 0):
+def render_crop(text, font, glyph_w, h=64, margin: int = 0, bearing: int = 3):
     """Native-width u8 line crop; visual RTL (first char rightmost).
 
     ``margin`` adds white columns on both sides — detection boxes always
     carry background margin (add_margin), and the recognizers' replicate-
-    edge right padding must land on background, not on glyph pixels."""
-    canvas = np.full((h, glyph_w * len(text) + 2 * margin), 255, dtype=np.uint8)
+    edge right padding must land on background, not on glyph pixels.
+    ``bearing`` white columns separate adjacent glyphs (sidebearings —
+    real type never abuts ink edge-to-edge; they also give CTC honest
+    per-glyph segmentation anchors)."""
+    adv = glyph_w + bearing
+    canvas = np.full((h, adv * len(text) - bearing + 2 * margin), 255,
+                     dtype=np.uint8)
     for i, ch in enumerate(text):
-        col = margin + (len(text) - 1 - i) * glyph_w
+        col = margin + (len(text) - 1 - i) * adv
         canvas[:, col:col + glyph_w] = font[ch]
     return canvas
 
@@ -84,22 +114,48 @@ def sample_texts(rng, charset, n, min_len=2, max_len=9):
 def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                glyph_w=24, seed=0, verbose=True, lr=1e-3,
                short_sampler=None, pool_sampler=None, augment=None,
-               reuse=2):
+               reuse=24, buffer_batches=64, ignite_batches=5):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
-    STREAMING corpus.
+    REPLAY-BUFFERED streaming corpus.
 
     Fresh lines are sampled, rendered, and uploaded continuously by a
-    producer thread — the corpus is effectively infinite (``steps/reuse``
-    distinct batches), which structurally rules out the sequence-
-    memorization failure mode that finite device-resident pools hit: a
-    512-wide net trained 12k steps on ~1.3k distinct lines reached train
-    loss 0.17 with held-out CER 0.98 (every prediction a memorized pool
-    line).  Streaming makes train ≈ held-out by construction.
+    producer thread into a device-resident replay buffer of
+    ``buffer_batches`` slots; every ``reuse`` steps the oldest slot is
+    replaced, and each step trains on a uniformly random slot.  Two
+    failure modes bracketed this design (both observed at 512/512 over
+    the 184-char charset):
+
+    - a FINITE pool (~1.3k distinct lines revisited ~600x over 12k steps)
+      locks in but memorizes — train loss 0.17 with held-out CER 0.98;
+    - PURE streaming (each batch trained 2-8 consecutive steps, then
+      discarded) never locks in at all — held-out loss sits at the label
+      entropy floor (~len*ln(184)) because CTC alignment bootstraps off
+      repetition: re-seeing a batch with spaced repetitions is what turns
+      noisy alignment gradients into a consistent glyph-grounded signal.
+
+    The schedule therefore has two phases:
+
+    1. IGNITION (first ~20% of steps, capped at 1500): cycle a tiny
+       fixed pool of ``ignite_batches`` short-line batches hundreds of
+       times.  This deliberately lets the net memorize them — that is
+       what snaps CTC into a consistent monotonic alignment (replay at
+       ~24 spaced visits/batch was measured NOT to ignite: loss stayed
+       at the entropy floor through the whole warm phase).
+    2. REPLAY STREAMING: fresh batches are injected into the buffer
+       every ``reuse`` steps (replacing the oldest slot, so the ignition
+       pool washes out), and each step trains on a uniformly random
+       slot.  Each batch is revisited ~``reuse`` times spread over
+       ``buffer_batches * reuse`` steps while the corpus grows by
+       ``batch`` fresh lines per ``reuse`` steps — far too many distinct
+       lines to memorize, which is what kills the finite-pool collapse
+       (the grounded-glyph solution formed during ignition generalizes;
+       continued training on a FIXED pool instead decays it into pure
+       sequence recall, 0.034 held-out CER at 8k steps -> 0.98 at 12k).
 
     Batches cross the relay as u8 (4x smaller than f32) and are
     normalised inside the jitted train step (no extra dispatch RTT);
-    ``reuse`` consecutive steps per uploaded batch halves wire bandwidth
-    again — ~0.5 MB/s effective at reuse=2, far below the relay floor.
+    amortised wire cost is one batch per ``reuse`` steps — far below the
+    relay floor.
 
     ``short_sampler``/``pool_sampler``: optional ``(rng, n) -> [str]``
     overriding the random-character text source (e.g. word-structured text
@@ -113,6 +169,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     stats calibrated for inference mode.  Shared by eval_farsi (line-level
     cross-framework eval) and eval_pages (page-level serving-path eval).
     """
+    import collections
     import queue as queue_mod
     import threading
 
@@ -153,11 +210,26 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                    for t in pool_sampler(probe, max(train_pool, 32))]
     probe_texts += short_sampler(probe, 64)
     longest = max(len(t) for t in probe_texts) + 2
-    width = glyph_w * longest + 16  # widest training line + margins
+    width = (glyph_w + 3) * longest + 16  # widest line (w/ bearings) + margins
     width = -(-width // 64) * 64
     max_l = longest
 
-    def render_batch(texts, r):
+    def train_jitter(crop, r):
+        """Break image-hash memorization: contrast + noise + x-shift.
+
+        With clean deterministic renders the net can satisfy the loss by
+        hashing arbitrary pixels to a stored sequence (a replay run hit
+        train loss 0.05 with held-out loss at the entropy floor); jitter
+        makes per-glyph template matching the only solution that explains
+        every rendition, so the shortcut is gradient-starved."""
+        x = crop.astype(np.float32)
+        x = 127.5 + (x - 127.5) * (0.55 + 0.45 * r.random())
+        x += r.normal(0.0, 10.0, x.shape)
+        pad = int(r.integers(0, 10))
+        x = np.concatenate([np.full((x.shape[0], pad), 255.0), x], axis=1)
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    def render_batch(texts, r, jitter=False):
         n = len(texts)
         images = np.full((n, 64, width, 1), 255, np.uint8)
         labels = np.zeros((n, max_l), np.int32)
@@ -165,8 +237,11 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         for i, t in enumerate(texts):
             t = t[:max_l]
             crop = render_crop(t, font, glyph_w, margin=6)
+            if jitter:
+                crop = train_jitter(crop, r)
             if augment is not None:
                 crop = augment(crop, r)
+            crop = crop[:, :width]
             images[i, :, :crop.shape[1], 0] = crop
             # labels in VISUAL order (leftmost glyph first): CTC alignment is
             # monotonic along the width axis, so an RTL render must train
@@ -183,45 +258,78 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # short-line anchor forever (blank-collapse is punished instantly on
     # 1-3 char lines, so alignment can't silently die on the long tail)
     rungs = [short_sampler] + ladder_samplers + [pool_sampler]
-    warm_f = 0.1  # fraction of steps on rung 0 alone
+    reuse = max(reuse, 1)
+    # ignition: rung-0-only steps over a tiny cycled pool (old-style warm
+    # phase; the cap matches the longest warm that was needed in practice)
+    ignite_steps = min(max(1, int(steps * 0.25)), 1500)
 
-    def rung_for(i, mix_rng):
-        f = i / steps
-        if f < warm_f or len(rungs) == 1:
-            return rungs[0]
-        # position along the ladder: reach the last rung by 45% of
-        # training — the full-length stream needs a long full-LR tail
-        # (the one observed full lock-in took ~6k steps at full length)
-        pos = min(1.0, (f - warm_f) / (0.45 - warm_f)) * (len(rungs) - 1)
-        base = min(int(pos), len(rungs) - 2)
-        frac = pos - base
+    # LOSS-ADAPTIVE ladder: fraction-based schedules are seed-fragile —
+    # how long CTC takes to break its all-blank plateau on fresh data
+    # varies by run, and climbing before the current rung locks in sends
+    # the loss to an unrecoverable collapse.  The training loop keeps a
+    # post-ignition loss EMA and advances one rung whenever it dips under
+    # the gate, with a one-buffer-turnover cooldown so the EMA reflects
+    # the new rung before the next climb.  The producer thread just reads
+    # the current rung; 15% of batches stay rung-0 anchors (blank
+    # collapse is punished instantly on 1-3 char lines).
+    cur = {"rung": 0}
+
+    def rung_for(mix_rng):
         if mix_rng.random() < 0.15:
             return rungs[0]
-        return rungs[base + 1] if mix_rng.random() < frac else rungs[base]
+        return rungs[cur["rung"]]
 
-    n_batches = -(-steps // max(reuse, 1))
-    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=8)
-    calib_host = []  # last few u8 batches, for BN calibration
+    # initial buffer fill; afterwards the producer streams until stopped
+    # (the consumer controls the replacement rate, which can change
+    # mid-run — see the phase-3 acceleration below)
+    fill = max(1, min(buffer_batches, -(-steps // reuse)))
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=4)
+    stop = threading.Event()
+    calib_recent = collections.deque(maxlen=6)  # for BN calibration
 
     def producer():
         prng = np.random.default_rng(seed + 1)
-        for b in range(n_batches):
-            texts = rung_for(b * reuse, prng)(prng, batch)
-            im, lb, ln = render_batch(texts, prng)
-            if b >= n_batches - 6:
-                calib_host.append((im.copy(), lb.copy(), ln.copy()))
-            q.put((jax.device_put(jnp.asarray(im)),
-                   jax.device_put(jnp.asarray(lb)),
-                   jax.device_put(jnp.asarray(ln))))
+        b = 0
+        while not stop.is_set():
+            # the fill batches are all rung-0 (they seed ignition)
+            texts = (rungs[0] if b < fill else rung_for(prng))(prng, batch)
+            # ignition batches render CLEAN: memorizing them is the
+            # mechanism that snaps CTC alignment (jitter from step 0 was
+            # measured to block ignition entirely — loss pinned at the
+            # entropy floor).  The post-ignition stream is jittered so
+            # image-hash recall can't survive past ignition.
+            im, lb, ln = render_batch(texts, prng, jitter=(b >= fill))
+            calib_recent.append((im.copy(), lb.copy(), ln.copy()))
+            item = (jax.device_put(jnp.asarray(im)),
+                    jax.device_put(jnp.asarray(lb)),
+                    jax.device_put(jnp.asarray(ln)))
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    break
+                except queue_mod.Full:
+                    pass
+            b += 1
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
                             output_channel=oc, hidden_size=hs)
-    # constant LR throughout: runs that generalized trained at full LR to
-    # the end; with a streaming corpus there is nothing to over-fit, and
-    # full LR keeps the long-tail alignment adapting
+    # full LR through ignition/ladder (lock-in needs it), then a cosine
+    # tail over the last 30%: re-fitting each fresh buffer batch (the
+    # memorization channel) needs large steps, while the glyph-grounded
+    # solution is shared across batches and survives small ones — decay
+    # starves the former and consolidates the latter
+    if not callable(lr):
+        lr_peak = lr
+
+        def lr(count):  # noqa: F811 — schedule form of the same arg
+            frac = count / max(steps, 1)
+            return jnp.where(
+                frac < 0.7, lr_peak,
+                lr_peak * (0.15 + 0.85 * 0.5
+                           * (1 + jnp.cos(jnp.pi * (frac - 0.7) / 0.3))))
     opt = make_optimizer(lr)
     state = opt.init(params)
     inner_step = make_train_step(opt)
@@ -231,24 +339,6 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         im = (im_u8.astype(jnp.float32) - 127.5) / 127.5
         return inner_step(p, s, im, lb, ln)
 
-    t0 = time.time()
-    loss = float("nan")
-    i = 0
-    for b in range(n_batches):
-        im, lb, ln = q.get()
-        for _ in range(min(reuse, steps - i)):
-            params, state, loss = step(params, state, im, lb, ln)
-            if verbose and i % 100 == 0:
-                print(f"step {i:4d}  loss {float(loss):8.4f}  "
-                      f"({time.time()-t0:.0f}s)", flush=True)
-            i += 1
-    if verbose:
-        print(f"trained {steps} steps, final loss {float(loss):.4f}")
-
-    # generalization check: loss on a NEVER-TRAINED full-length batch.
-    # With a streaming corpus this should track the train loss closely; a
-    # large gap means memorization (the failure mode streaming exists to
-    # kill — train loss 0.17 / held-out CER 0.98 on a finite pool).
     from ocrfa_tpu.train import ctc_loss as _ctc_loss
 
     @jax.jit
@@ -256,13 +346,85 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         im = (im_u8.astype(jnp.float32) - 127.5) / 127.5
         return _ctc_loss(crnn_apply(p, im, train=True), lb, ln)
 
+    # fixed clean held-out batch, probed during training: a large gap vs
+    # the train loss is the memorization signal, visible live
     hrng = np.random.default_rng(seed + 31337)
-    held = float(_eval_loss(
-        params, *map(jnp.asarray, render_batch(pool_sampler(hrng, batch), hrng))))
-    # comparand is a batch the model actually TRAINED on, of the same tail
-    # length distribution (~85% full-length pool draws) — the raw final
-    # train loss can be a short-anchor batch, which would flag a bogus gap
-    seen = float(_eval_loss(params, *map(jnp.asarray, calib_host[-1])))
+    held_batch = tuple(map(jnp.asarray,
+                           render_batch(pool_sampler(hrng, batch), hrng)))
+
+    t0 = time.time()
+    loss = float("nan")
+    srng = np.random.default_rng(seed + 2)
+    buffer = [q.get() for _ in range(fill)]
+    ignite_n = min(max(1, ignite_batches), fill)
+    oldest = 0
+    ADV_GATE = 3.0
+    repl = reuse  # replacement interval = avg visits per batch
+    cooldown = len(buffer) * reuse  # one full buffer turnover
+    # first climb no sooner than one turnover past ignition: right after
+    # ignition the buffer is still ignition-heavy and the EMA would be
+    # polluted by memorized-batch losses
+    ema, last_adv = float("inf"), ignite_steps
+    since_repl = 0
+    for i in range(steps):
+        if i < ignite_steps:
+            # ignition: cycle the tiny rung-0 pool only
+            im, lb, ln = buffer[int(srng.integers(ignite_n))]
+        else:
+            since_repl += 1
+            if since_repl >= repl:
+                # replace the oldest slot with a fresh batch (round-robin)
+                buffer[oldest] = q.get()
+                oldest = (oldest + 1) % len(buffer)
+                since_repl = 0
+            im, lb, ln = buffer[int(srng.integers(len(buffer)))]
+        params, state, loss = step(params, state, im, lb, ln)
+        if i >= ignite_steps and i % 25 == 0:
+            # loss-adaptive ladder bookkeeping (sync every 25 steps only —
+            # a per-step float() would add a dispatch RTT per step)
+            v = float(loss)
+            ema = v if ema == float("inf") else 0.9 * ema + 0.1 * v
+            if ema < ADV_GATE and i - last_adv >= cooldown:
+                if cur["rung"] < len(rungs) - 1:
+                    cur["rung"] += 1
+                    ema, last_adv = float("inf"), i
+                    if verbose:
+                        print(f"step {i:4d}  -> rung {cur['rung']}"
+                              f"/{len(rungs) - 1}", flush=True)
+                elif repl > max(4, reuse // 3):
+                    # phase 3: top rung is locked — accelerate corpus
+                    # growth (fewer visits per batch) so residual buffer
+                    # memorization starves while generalization keeps
+                    # collecting gradient
+                    repl = max(4, reuse // 3)
+                    if verbose:
+                        print(f"step {i:4d}  -> streaming accel "
+                              f"(visits/batch {reuse} -> {repl})", flush=True)
+        if verbose and i % 100 == 0:
+            held = (f"  held {float(_eval_loss(params, *held_batch)):8.4f}"
+                    if i % 500 == 0 else "")
+            print(f"step {i:4d}  loss {float(loss):8.4f}{held}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    if verbose:
+        print(f"trained {steps} steps, final loss {float(loss):.4f}")
+    stop.set()
+    while True:  # unblock a producer mid-put and let it exit
+        try:
+            q.get_nowait()
+        except queue_mod.Empty:
+            break
+    thread.join(timeout=5.0)
+    calib_host = list(calib_recent)
+
+    # generalization check: loss on the NEVER-TRAINED full-length batch.
+    # This should track the train loss closely; a large gap means
+    # memorization (train loss 0.17 / held-out CER 0.98 on a finite pool).
+    held = float(_eval_loss(params, *held_batch))
+    # comparand is a batch the model actually TRAINED on: the oldest
+    # buffer resident was revisited a full complement of times (the raw
+    # final train loss can be a short-anchor batch, which would flag a
+    # bogus gap)
+    seen = float(_eval_loss(params, *buffer[oldest]))
     if verbose:
         print(f"loss trained-batch {seen:.4f}  held-out {held:.4f}"
               + ("  [MEMORIZATION — gap too large]"
@@ -274,6 +436,37 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     params = calibrate_bn_stats(
         params, lambda p, b: crnn_apply(p, b), [b[:32] for b in calib_f32])
     return params, conv, font, loss, calib_f32[:2]
+
+
+def save_trained(path, params, loss, calib_batches, meta):
+    """Pickle a trained run (params as host numpy pytree + meta) so the
+    page-level eval can reuse it instead of retraining (~1h on TPU)."""
+    import pickle
+
+    import jax
+
+    blob = {"params": jax.tree.map(lambda a: np.asarray(a), params),
+            "loss": float(loss),
+            "calib": [np.asarray(b) for b in calib_batches],
+            "meta": meta}
+    with open(path, "wb") as f:
+        pickle.dump(blob, f)
+
+
+def load_trained(path):
+    """Inverse of save_trained; rebuilds the deterministic converter/font
+    (train_gen1 derives both from charset + seed 0)."""
+    import pickle
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    meta = blob["meta"]
+    conv = CTCLabelConverter(meta["charset"])
+    font = make_font(meta["charset"], np.random.default_rng(0),
+                     meta["glyph_w"])
+    return blob["params"], conv, font, blob["loss"], blob["calib"], meta
 
 
 def main():
@@ -288,6 +481,12 @@ def main():
                     help="force the CPU backend (the axon plugin overrides "
                          "JAX_PLATFORMS, so an env var is not enough)")
     ap.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    ap.add_argument("--save-params", type=str, default=None,
+                    help="pickle the trained (BN-calibrated) params here so "
+                         "eval_pages can reuse the run")
+    ap.add_argument("--load-params", type=str, default=None,
+                    help="skip training; load params pickled by a previous "
+                         "--save-params run (charset/oc/hs must match)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -311,9 +510,20 @@ def main():
     else:
         charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
         oc = hs = 512
-    params, conv, font, loss, calib_batches = train_gen1(
-        charset, steps=args.steps, train_pool=args.train_pool,
-        batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr)
+    if args.load_params:
+        params, conv, font, loss, calib_batches, meta = load_trained(
+            args.load_params)
+        charset, oc, hs, glyph_w = (meta["charset"], meta["oc"], meta["hs"],
+                                    meta["glyph_w"])
+        args.steps = meta["steps"]
+    else:
+        params, conv, font, loss, calib_batches = train_gen1(
+            charset, steps=args.steps, train_pool=args.train_pool,
+            batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr)
+    if args.save_params:
+        save_trained(args.save_params, params, loss, calib_batches,
+                     dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
+                          steps=args.steps))
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------

@@ -98,6 +98,9 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon overrides JAX_PLATFORMS)")
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--load-params", type=str, default=None,
+                    help="reuse a model trained by eval_farsi --save-params "
+                         "instead of retraining here")
     args = ap.parse_args()
 
     if args.cpu:
@@ -130,9 +133,17 @@ def main():
     else:
         charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
         oc = hs = 512
-    params, conv, font, loss, calib = train_gen1(
-        charset, steps=args.steps, oc=oc, hs=hs, glyph_w=glyph_w,
-        seed=args.seed)
+    if args.load_params:
+        from eval_farsi import load_trained
+
+        params, conv, font, loss, calib, meta = load_trained(args.load_params)
+        charset, oc, hs, glyph_w = (meta["charset"], meta["oc"], meta["hs"],
+                                    meta["glyph_w"])
+        args.steps = meta["steps"]
+    else:
+        params, conv, font, loss, calib = train_gen1(
+            charset, steps=args.steps, oc=oc, hs=hs, glyph_w=glyph_w,
+            seed=args.seed)
     recognizer = Recognizer(params, conv)
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
 
