@@ -23,6 +23,7 @@ Usage:
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -114,7 +115,8 @@ def sample_texts(rng, charset, n, min_len=2, max_len=9):
 def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                glyph_w=24, seed=0, verbose=True, lr=1e-3,
                short_sampler=None, pool_sampler=None, augment=None,
-               reuse=24, buffer_batches=64, ignite_batches=5):
+               reuse=24, buffer_batches=64, ignite_batches=5,
+               snapshot_path=None, snap_every=2000):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -202,17 +204,35 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                                                    min_len=lo, max_len=hi)))(lo, hi)
         for lo, hi in [(2, 5), (2, 7)]] if default_samplers else [])
 
-    # probe the samplers for the longest line -> fixed render width and
-    # label length for the whole run (one jit compile); streamed outliers
-    # beyond the probe max are truncated (headroom +2 makes that rare)
+    # rungs: short (1-3) -> ladder -> full-length pool, climbed by the
+    # loss-adaptive gate below, with a 15% short-line anchor forever
+    # (blank-collapse is punished instantly on 1-3 char lines, so
+    # alignment can't silently die on the long tail)
+    rungs = [short_sampler] + ladder_samplers + [pool_sampler]
+
+    # probe every rung's sampler for its longest line -> one canvas width
+    # PER RUNG (rounded to 64) and a global label length.  A single
+    # full-length canvas was a measured ignition killer: 1-3 char lines on
+    # a 384px canvas are mostly blank columns (T~95 for ~2 labels), which
+    # dilutes the CTC alignment gradient enough that the lock-in plateau
+    # never breaks; on a tight 128px canvas the same rung ignites in a few
+    # hundred steps (and the narrow steps run ~3x faster).  XLA compiles
+    # one program per width bucket — the same bucket-ladder the serving
+    # path uses.  Streamed outliers beyond a rung's probe max truncate.
     probe = np.random.default_rng(seed + 7)
-    probe_texts = [t for _ in range(8)
-                   for t in pool_sampler(probe, max(train_pool, 32))]
-    probe_texts += short_sampler(probe, 64)
-    longest = max(len(t) for t in probe_texts) + 2
-    width = (glyph_w + 3) * longest + 16  # widest line (w/ bearings) + margins
-    width = -(-width // 64) * 64
-    max_l = longest
+
+    def _probe_len(sampler):
+        return max(len(t) for _ in range(4)
+                   for t in sampler(probe, max(train_pool, 32)))
+
+    def _width_for(maxlen):
+        w = (glyph_w + 3) * maxlen + 16 + 10  # bearings + margins + jitter
+        return -(-w // 64) * 64
+
+    rung_maxlen = [_probe_len(s) + 1 for s in rungs]
+    rung_width = [_width_for(m) for m in rung_maxlen]
+    max_l = max(rung_maxlen)
+    width = max(rung_width)  # held-out / calibration canvas
 
     def train_jitter(crop, r):
         """Break image-hash memorization: contrast + noise + x-shift.
@@ -229,19 +249,25 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         x = np.concatenate([np.full((x.shape[0], pad), 255.0), x], axis=1)
         return np.clip(x, 0, 255).astype(np.uint8)
 
-    def render_batch(texts, r, jitter=False):
+    def render_batch(texts, r, jitter=False, canvas_w=None):
         n = len(texts)
-        images = np.full((n, 64, width, 1), 255, np.uint8)
+        cw = width if canvas_w is None else canvas_w
+        images = np.full((n, 64, cw, 1), 255, np.uint8)
         labels = np.zeros((n, max_l), np.int32)
         lengths = np.zeros((n,), np.int32)
+        # truncate to what the canvas fits WITH its jitter/margin headroom
+        # (labels must match the rendered glyphs — cropping canvas columns
+        # on an RTL render would cut the line START while the label kept
+        # the full text)
+        fit = min(max_l, (cw - 16 - 10) // (glyph_w + 3))
         for i, t in enumerate(texts):
-            t = t[:max_l]
+            t = t[:fit]
             crop = render_crop(t, font, glyph_w, margin=6)
             if jitter:
                 crop = train_jitter(crop, r)
             if augment is not None:
                 crop = augment(crop, r)
-            crop = crop[:, :width]
+            crop = crop[:, :cw]
             images[i, :, :crop.shape[1], 0] = crop
             # labels in VISUAL order (leftmost glyph first): CTC alignment is
             # monotonic along the width axis, so an RTL render must train
@@ -253,11 +279,6 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
             lengths[i] = len(ids)
         return images, labels, lengths
 
-    # rungs: short (1-3) -> ladder -> full-length pool, walked by training
-    # fraction with a blended hand-off between adjacent rungs and a 15%
-    # short-line anchor forever (blank-collapse is punished instantly on
-    # 1-3 char lines, so alignment can't silently die on the long tail)
-    rungs = [short_sampler] + ladder_samplers + [pool_sampler]
     reuse = max(reuse, 1)
     # ignition: rung-0-only steps over a tiny cycled pool (old-style warm
     # phase; the cap matches the longest warm that was needed in practice)
@@ -276,8 +297,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
 
     def rung_for(mix_rng):
         if mix_rng.random() < 0.15:
-            return rungs[0]
-        return rungs[cur["rung"]]
+            return 0
+        return cur["rung"]
 
     # initial buffer fill; afterwards the producer streams until stopped
     # (the consumer controls the replacement rate, which can change
@@ -292,13 +313,16 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         b = 0
         while not stop.is_set():
             # the fill batches are all rung-0 (they seed ignition)
-            texts = (rungs[0] if b < fill else rung_for(prng))(prng, batch)
+            ri = 0 if b < fill else rung_for(prng)
+            texts = rungs[ri](prng, batch)
             # ignition batches render CLEAN: memorizing them is the
             # mechanism that snaps CTC alignment (jitter from step 0 was
             # measured to block ignition entirely — loss pinned at the
             # entropy floor).  The post-ignition stream is jittered so
-            # image-hash recall can't survive past ignition.
-            im, lb, ln = render_batch(texts, prng, jitter=(b >= fill))
+            # image-hash recall can't survive past ignition.  Each rung
+            # renders on its own canvas width bucket.
+            im, lb, ln = render_batch(texts, prng, jitter=(b >= fill),
+                                      canvas_w=rung_width[ri])
             calib_recent.append((im.copy(), lb.copy(), ln.copy()))
             item = (jax.device_put(jnp.asarray(im)),
                     jax.device_put(jnp.asarray(lb)),
@@ -405,6 +429,20 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                     if i % 500 == 0 else "")
             print(f"step {i:4d}  loss {float(loss):8.4f}{held}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if snapshot_path and i > 0 and i % snap_every == 0:
+            # evalable snapshot (BN-calibrated copy): the axon relay can
+            # die mid-run and take every device buffer with it — without
+            # snapshots that loses the whole run
+            recent = [((b[0].astype(np.float32) / 255.0) - 0.5) / 0.5
+                      for b in list(calib_recent)[-4:]]
+            snap = calibrate_bn_stats(
+                params, lambda p, b: crnn_apply(p, b),
+                [b[:32] for b in recent])
+            save_trained(snapshot_path + ".tmp", snap, float(loss),
+                         recent[:2],
+                         dict(charset=charset, oc=oc, hs=hs,
+                              glyph_w=glyph_w, steps=i))
+            os.replace(snapshot_path + ".tmp", snapshot_path)
     if verbose:
         print(f"trained {steps} steps, final loss {float(loss):.4f}")
     stop.set()
@@ -519,7 +557,9 @@ def main():
     else:
         params, conv, font, loss, calib_batches = train_gen1(
             charset, steps=args.steps, train_pool=args.train_pool,
-            batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr)
+            batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr,
+            snapshot_path=(args.save_params + ".snap"
+                           if args.save_params else None))
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
