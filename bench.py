@@ -54,10 +54,43 @@ def make_corpus(rng, n):
     return crops
 
 
+def backend_alive(timeout=300.0):
+    """True once a trivial dispatch round-trips.
+
+    The axon relay can die mid-session (observed: tunnel process exits,
+    every dispatch blocks forever) — without this watchdog the bench
+    hangs instead of reporting, and the round loses its artifact."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import numpy as np
+
+        ok.append(float(np.asarray(jax.numpy.ones((8, 8)).sum())))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    return bool(ok)
+
+
 def main():
     from ocrfa_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if not backend_alive():
+        print(json.dumps({
+            "metric": "textline_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "img/s/chip",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable: no dispatch completed within "
+                     "300s (axon relay down?) — not a measurement",
+        }))
+        return
 
     import jax
     import jax.numpy as jnp
