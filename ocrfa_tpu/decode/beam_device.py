@@ -41,8 +41,10 @@ def _logaddexp(a, b):
 def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
                lm_log=None, lm_factor: float = 0.0,
                trie_trans=None, trie_word=None, sep_idx: int = -1,
-               oov_penalty: float = -4.0, word_bonus: float = 0.0):
-    prefix, length, h1, h2, pb, pnb, node = state
+               oov_penalty: float = -4.0, word_bonus: float = 0.0,
+               trie_word_id=None, word_lm_log=None,
+               word_lm_factor: float = 0.0):
+    prefix, length, h1, h2, pb, pnb, node, pword = state
     b = beam_width
     k = topk
 
@@ -86,8 +88,26 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
         )
         next_node = jnp.where(is_sep, 0, nxt)
         ext_pnb = ext_pnb + lex_score
+        if word_lm_log is not None:
+            # word-level shallow fusion: a separator closes the current
+            # word — score it against the previous word's bigram row
+            # (rows/cols per WordNGramLM.bigram_log_matrix: V=<s> context,
+            # V+1=<unk> for OOV/incomplete walks) and advance the per-beam
+            # word context.  Non-separator extensions leave both untouched.
+            unk = word_lm_log.shape[0] - 1
+            wid = jnp.where(word_ok, trie_word_id[safe], unk)
+            ext_pnb = ext_pnb + jnp.where(
+                is_sep,
+                word_lm_factor * word_lm_log[pword[:, None],
+                                             wid[:, None]],
+                0.0)
+            next_pword = jnp.where(is_sep, wid[:, None],
+                                   pword[:, None]).astype(jnp.int32)
+        else:
+            next_pword = jnp.broadcast_to(pword[:, None], (b, k))
     else:
         next_node = jnp.broadcast_to(node[:, None], (b, k))
+        next_pword = jnp.broadcast_to(pword[:, None], (b, k))
     ext_pb = jnp.full((b, k), NEG_INF)
 
     # flatten candidates: B stays then B*K extends
@@ -98,6 +118,7 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
     parent = jnp.concatenate([jnp.arange(b), jnp.repeat(jnp.arange(b), k)])
     newchar = jnp.concatenate([jnp.full((b,), -1), c.reshape(-1)]).astype(jnp.int32)
     cand_node = jnp.concatenate([node, next_node.reshape(-1)])
+    cand_pword = jnp.concatenate([pword, next_pword.reshape(-1)])
 
     m = b + b * k
     # dead parents must not merge with anything: give them unique hashes
@@ -159,13 +180,14 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
     new_h1 = cand_h1[rep]
     new_h2 = cand_h2[rep]
     new_node = cand_node[rep]
+    new_pword = cand_pword[rep]
     new_pb = new_pb_seg[best_seg]
     new_pnb = new_pnb_seg[best_seg]
     new_pb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pb)
     new_pnb = jnp.where(best_scores <= NEG_INF / 2, NEG_INF, new_pnb)
 
     return (new_prefix, new_length, new_h1, new_h2, new_pb, new_pnb,
-            new_node), None
+            new_node, new_pword), None
 
 
 # only the shape-determining knobs are static; lm_factor/sep_idx/
@@ -176,7 +198,9 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
                            lm_log=None, lm_factor: float = 0.3,
                            trie_trans=None, trie_word=None, sep_idx: int = -1,
                            oov_penalty: float = -4.0,
-                           word_bonus: float = 0.0):
+                           word_bonus: float = 0.0,
+                           trie_word_id=None, word_lm_log=None,
+                           word_lm_factor: float = 0.5):
     """Batch CTC beam decode.
 
     Args:
@@ -194,11 +218,26 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
         a completed word (else ``oov_penalty``) and restarts at the root —
         the device analog of the reference's dictionary word-beam-search
         (utils.py:1124-1173) without per-word host loops.
+      trie_word_id/word_lm_log: optional word-level bigram fusion on top of
+        the trie (requires ``trie_trans``): ``trie_word_id`` is the trie's
+        node->word-id map (:attr:`LexiconTrie.word_id`), ``word_lm_log`` the
+        dense ``(V+2, V+2)`` matrix from
+        :meth:`~ocrfa_tpu.decode.lm.WordNGramLM.bigram_log_matrix` built
+        over ``trie.words``.  Each beam carries its previous word id
+        (start = ``V``, the ``<s>`` row); every separator extension adds
+        ``word_lm_factor * log P(closed word | previous word)``, with
+        OOV/incomplete walks scored as ``<unk>`` (``V+1``).  The final
+        unterminated word is not scored — use
+        :meth:`WordNGramLM.rescore` on the returned beams when end-of-line
+        context matters.
 
     Returns ``(prefixes, lengths, scores)``: best-first collapsed label
     sequences ``(N, B, T)`` with valid ``lengths (N, B)`` and total log
     probabilities ``(N, B)``.
     """
+    if word_lm_log is not None and (trie_trans is None or trie_word_id is None):
+        raise ValueError("word_lm_log needs the lexicon trie: pass "
+                         "trie_trans/trie_word and trie_word_id")
     n, t, c = log_probs.shape
     topk = min(topk, c - 1)
 
@@ -211,14 +250,20 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
         pb = jnp.full((b,), NEG_INF).at[0].set(0.0)
         pnb = jnp.full((b,), NEG_INF)
         node = jnp.zeros((b,), dtype=jnp.int32)
+        # previous-word context: <s> row of the word-bigram matrix (a
+        # plain zero placeholder when word fusion is off)
+        start_word = word_lm_log.shape[0] - 2 if word_lm_log is not None else 0
+        pword = jnp.full((b,), start_word, dtype=jnp.int32)
 
         step = partial(_beam_step, beam_width=b, topk=topk, max_t=t,
                        lm_log=lm_log, lm_factor=lm_factor,
                        trie_trans=trie_trans, trie_word=trie_word,
                        sep_idx=sep_idx, oov_penalty=oov_penalty,
-                       word_bonus=word_bonus)
-        (prefix, length, _, _, pb, pnb, _), _ = jax.lax.scan(
-            step, (prefix, length, h1, h2, pb, pnb, node), row
+                       word_bonus=word_bonus, trie_word_id=trie_word_id,
+                       word_lm_log=word_lm_log,
+                       word_lm_factor=word_lm_factor)
+        (prefix, length, _, _, pb, pnb, _, _), _ = jax.lax.scan(
+            step, (prefix, length, h1, h2, pb, pnb, node, pword), row
         )
         score = _logaddexp(pb, pnb)
         order = jnp.argsort(-score)

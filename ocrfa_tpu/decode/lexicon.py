@@ -11,6 +11,9 @@ lexicon is compiled once into two dense arrays
 * ``trans``: (nodes, C) int32 — trie transition table over CTC class
   indices, ``-1`` where no dictionary word continues with that character;
 * ``is_word``: (nodes,) bool — whether the node completes a word;
+* ``word_id``: (nodes,) int32 — index into :attr:`words` at word-completing
+  nodes (``-1`` elsewhere), the hook a word-level LM scores through
+  (:meth:`ocrfa_tpu.decode.lm.WordNGramLM.bigram_log_matrix`);
 
 and every beam tracks its current node, so scoring an extension is one
 (B, K) gather — no strings, no host sync.  See
@@ -40,7 +43,8 @@ class LexiconTrie:
         index = {c: i for i, c in enumerate(classes)}
         children: list[dict[int, int]] = [{}]
         terminal = [False]
-        n_words = 0
+        word_ids = [-1]
+        self.words: list[str] = []
         for word in words:
             ids = [index.get(ch) for ch in word]
             if not ids or any(i is None or i == 0 for i in ids):
@@ -53,9 +57,12 @@ class LexiconTrie:
                     children[node][cid] = nxt
                     children.append({})
                     terminal.append(False)
+                    word_ids.append(-1)
                 node = nxt
-            terminal[node] = True
-            n_words += 1
+            if not terminal[node]:  # first sighting names the id
+                terminal[node] = True
+                word_ids[node] = len(self.words)
+                self.words.append(word)
 
         n, c = len(children), len(classes)
         self.trans = np.full((n, c), -1, dtype=np.int32)
@@ -63,7 +70,8 @@ class LexiconTrie:
             for cid, nxt in kids.items():
                 self.trans[node, cid] = nxt
         self.is_word = np.asarray(terminal, dtype=bool)
-        self.num_words = n_words
+        self.word_id = np.asarray(word_ids, dtype=np.int32)
+        self.num_words = len(self.words)
         self.num_nodes = n
 
     @classmethod

@@ -127,8 +127,9 @@ class Recognizer:
         self._apply_probs = jax.jit(_fused_probs)
 
         def _fused_beam(params, x, keep_mask, trie_trans=None, trie_word=None,
+                        trie_word_id=None, word_lm_log=None,
                         *, beam_width, sep_idx=-1, oov_penalty=-4.0,
-                        word_bonus=0.0):
+                        word_bonus=0.0, word_lm_factor=0.5):
             from ocrfa_tpu.decode.beam_device import ctc_beam_search_device
 
             logits = model_fn(params, _norm(x)).astype(jnp.float32)
@@ -139,6 +140,8 @@ class Recognizer:
                 log_probs, beam_width=beam_width,
                 trie_trans=trie_trans, trie_word=trie_word, sep_idx=sep_idx,
                 oov_penalty=oov_penalty, word_bonus=word_bonus,
+                trie_word_id=trie_word_id, word_lm_log=word_lm_log,
+                word_lm_factor=word_lm_factor,
             )
             return prefixes, lengths, ctc_confidences(indices, values)
 
@@ -217,7 +220,8 @@ class Recognizer:
     def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
                 decoder: str = "greedy", beam_width: int = 5,
                 lexicon=None, oov_penalty: float = -4.0,
-                word_bonus: float = 0.0):
+                word_bonus: float = 0.0, word_lm=None,
+                word_lm_factor: float = 0.5):
         """Run one padded batch end-to-end; returns [[text, conf], ...].
 
         Decoders: ``greedy`` (on-device, reference-exact), ``beamsearch`` /
@@ -226,7 +230,11 @@ class Recognizer:
         reference beam, not tie-exact with it), ``wordbeamsearch_fast``
         (device beam with dictionary-trie shallow fusion — pass ``lexicon``,
         a :class:`~ocrfa_tpu.decode.lexicon.LexiconTrie` over this
-        converter's classes; ``oov_penalty``/``word_bonus`` tune it).
+        converter's classes; ``oov_penalty``/``word_bonus`` tune it, and an
+        optional ``word_lm`` — a :class:`~ocrfa_tpu.decode.lm.WordNGramLM`
+        built over ``lexicon.words`` — scores each completed word in
+        context, ``word_lm_factor * log P(word | previous word)``, inside
+        the same device scan).
         """
         if decoder == "greedy":
             return self.collect(self.predict_async(batch, keep_mask))
@@ -254,12 +262,24 @@ class Recognizer:
                         "wordbeamsearch_fast needs a LexiconTrie (lexicon=)")
                 chars = list(self.converter.character)
                 sep = chars.index(" ") if " " in chars else -1
+                wlm = {}
+                if word_lm is not None:
+                    if word_lm.vocab != lexicon.words:
+                        raise ValueError(
+                            "word_lm vocabulary must be the trie's word "
+                            "list (build with WordNGramLM.fit(texts, "
+                            "vocab=lexicon.words))")
+                    wlm = dict(
+                        trie_word_id=jnp.asarray(lexicon.word_id),
+                        word_lm_log=jnp.asarray(word_lm.bigram_log_matrix()),
+                        word_lm_factor=float(word_lm_factor),
+                    )
                 prefixes, lengths, confs = self._apply_beam(
                     self.params, x, mask,
                     jnp.asarray(lexicon.trans), jnp.asarray(lexicon.is_word),
                     beam_width=beam_width, sep_idx=sep,
                     oov_penalty=float(oov_penalty),
-                    word_bonus=float(word_bonus),
+                    word_bonus=float(word_bonus), **wlm,
                 )
             else:
                 prefixes, lengths, confs = self._apply_beam(
