@@ -283,3 +283,25 @@ def decode_beams_to_text(prefixes, lengths, characters, ignore_idx=(0,)):
         ids = row_prefix[0][: row_len[0]]
         texts.append("".join(chars[i] for i in ids if i not in ignore))
     return texts
+
+
+def decode_all_beams_to_text(prefixes, lengths, scores, characters,
+                             ignore_idx=(0,)):
+    """Every beam -> per-sample ``[(text, logprob), ...]`` best-first, dead
+    beams (score ~ -inf) dropped — the host-rescoring surface (e.g.
+    :meth:`~ocrfa_tpu.decode.lm.WordNGramLM.rescore`)."""
+    import numpy as np
+
+    chars = np.array(characters)
+    ignore = set(ignore_idx)
+    out = []
+    for row_prefix, row_len, row_score in zip(
+            np.asarray(prefixes), np.asarray(lengths), np.asarray(scores)):
+        beams = []
+        for ids, n, s in zip(row_prefix, row_len, row_score):
+            if s <= NEG_INF / 2:
+                continue
+            beams.append(("".join(chars[i] for i in ids[:n]
+                                  if i not in ignore), float(s)))
+        out.append(beams)
+    return out

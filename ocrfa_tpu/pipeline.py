@@ -143,7 +143,7 @@ class Recognizer:
                 trie_word_id=trie_word_id, word_lm_log=word_lm_log,
                 word_lm_factor=word_lm_factor,
             )
-            return prefixes, lengths, ctc_confidences(indices, values)
+            return prefixes, lengths, scores, ctc_confidences(indices, values)
 
         # beam_width alone is static: the penalty/separator knobs trace as
         # scalars, so an OOV-penalty sweep reuses one compiled program
@@ -221,8 +221,12 @@ class Recognizer:
                 decoder: str = "greedy", beam_width: int = 5,
                 lexicon=None, oov_penalty: float = -4.0,
                 word_bonus: float = 0.0, word_lm=None,
-                word_lm_factor: float = 0.5):
+                word_lm_factor: float = 0.5, return_beams: bool = False):
         """Run one padded batch end-to-end; returns [[text, conf], ...].
+
+        ``return_beams=True`` (fast decoders only) instead returns every
+        live beam per sample as best-first ``[(text, logprob), ...]`` — the
+        input :meth:`~ocrfa_tpu.decode.lm.WordNGramLM.rescore` expects.
 
         Decoders: ``greedy`` (on-device, reference-exact), ``beamsearch`` /
         ``wordbeamsearch`` (host, reference-exact), ``beamsearch_fast``
@@ -236,6 +240,9 @@ class Recognizer:
         context, ``word_lm_factor * log P(word | previous word)``, inside
         the same device scan).
         """
+        if return_beams and decoder not in ("beamsearch_fast",
+                                            "wordbeamsearch_fast"):
+            raise ValueError("return_beams needs a *_fast device decoder")
         if decoder == "greedy":
             return self.collect(self.predict_async(batch, keep_mask))
 
@@ -254,7 +261,8 @@ class Recognizer:
             x = shard_batch(x, self.mesh)
 
         if decoder in ("beamsearch_fast", "wordbeamsearch_fast"):
-            from ocrfa_tpu.decode.beam_device import decode_beams_to_text
+            from ocrfa_tpu.decode.beam_device import (
+                decode_all_beams_to_text, decode_beams_to_text)
 
             if decoder == "wordbeamsearch_fast":
                 if lexicon is None:
@@ -274,7 +282,7 @@ class Recognizer:
                         word_lm_log=jnp.asarray(word_lm.bigram_log_matrix()),
                         word_lm_factor=float(word_lm_factor),
                     )
-                prefixes, lengths, confs = self._apply_beam(
+                prefixes, lengths, scores, confs = self._apply_beam(
                     self.params, x, mask,
                     jnp.asarray(lexicon.trans), jnp.asarray(lexicon.is_word),
                     beam_width=beam_width, sep_idx=sep,
@@ -282,8 +290,14 @@ class Recognizer:
                     word_bonus=float(word_bonus), **wlm,
                 )
             else:
-                prefixes, lengths, confs = self._apply_beam(
+                prefixes, lengths, scores, confs = self._apply_beam(
                     self.params, x, mask, beam_width=beam_width
+                )
+            if return_beams:
+                return decode_all_beams_to_text(
+                    np.asarray(prefixes)[:n], np.asarray(lengths)[:n],
+                    np.asarray(scores)[:n],
+                    self.converter.character, self.converter.ignore_idx,
                 )
             texts = decode_beams_to_text(
                 np.asarray(prefixes)[:n], np.asarray(lengths)[:n],

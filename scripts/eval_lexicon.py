@@ -8,11 +8,20 @@ held-out renders (noise + contrast squeeze) and compares decoders:
 * ``beamsearch_fast`` — on-device prefix beam (no prior);
 * ``wordbeamsearch_fast`` — same beam with the training vocabulary walked
   as a dense trie inside the scan (decode/lexicon.py), over a small OOV
-  penalty sweep.
+  penalty sweep;
+* ``wordbeamsearch_fast + word LM`` — trie fusion plus in-context word
+  scoring (decode/lm.py WordNGramLM): device bigram shallow fusion at
+  separators, and host stupid-backoff rescoring of the full beam list.
 
-The claim under test: when acoustics degrade, dictionary fusion recovers
+Lines are drawn from a word-bigram MARKOV CHAIN (each word strongly
+prefers 3 successors), so word context carries real signal the
+equal-weight dictionary cannot see.
+
+The claims under test: when acoustics degrade, dictionary fusion recovers
 characters the acoustic-only decoders miss — the device analog of the
-reference's ``decode_wordbeamsearch`` dictionaries (utils.py:1124-1173).
+reference's ``decode_wordbeamsearch`` dictionaries (utils.py:1124-1173) —
+and context-aware word probabilities recover more than the dictionary
+alone (no reference counterpart).
 
 Usage:
   python scripts/eval_lexicon.py [--steps 3000] [--eval-lines 256] [--small]
@@ -92,9 +101,21 @@ def main():
                                      size=rng.integers(3, 7))))
     vocab = sorted(vocab)
 
+    # word-bigram Markov chain: each word routes 90% of its successor mass
+    # to 3 fixed words — the context signal the word LM can exploit
+    successors = {w: rng.choice(vocab, size=3, replace=False) for w in vocab}
+
     def words_sampler(r, n):
-        return [" ".join(r.choice(vocab, size=r.integers(1, 3)))
-                for _ in range(n)]
+        lines = []
+        for _ in range(n):
+            w = str(r.choice(vocab))
+            ws = [w]
+            for _ in range(int(r.integers(0, 2))):
+                w = (str(r.choice(successors[w])) if r.random() < 0.9
+                     else str(r.choice(vocab)))
+                ws.append(w)
+            lines.append(" ".join(ws))
+        return lines
 
     def short_sampler(r, n):
         # curriculum warmup: half 1-3 char fragments (CTC alignment
@@ -162,6 +183,34 @@ def main():
     for pen in (-1.0, -2.0, -4.0):
         results[f"wordbeamsearch_fast(oov={pen:g})"] = run(
             "wordbeamsearch_fast", lexicon=trie, oov_penalty=pen)
+
+    # ---- word-LM fusion: the LM sees the same Markov statistics the
+    # corpus is drawn from (fit on a fresh 20k-line sample, VISUAL order to
+    # match emissions — both word chars and word order reverse under RTL)
+    from ocrfa_tpu.decode.lm import WordNGramLM
+
+    lm_rng = np.random.default_rng(4242)
+    lm = WordNGramLM.fit((t[::-1] for t in words_sampler(lm_rng, 20000)),
+                         vocab=trie.words, order=2)
+    for f in (0.5, 1.0):
+        results[f"wordbeamsearch_fast+wordlm(f={f:g})"] = run(
+            "wordbeamsearch_fast", lexicon=trie, oov_penalty=-4.0,
+            word_lm=lm, word_lm_factor=f)
+
+    # host rescoring closes the device gap on the final (unterminated)
+    # word: rescore the full beam list with the same LM
+    t0 = time.time()
+    beams = recognizer.predict(batch, keep, decoder="wordbeamsearch_fast",
+                               beam_width=args.beam_width, lexicon=trie,
+                               oov_penalty=-4.0, return_beams=True)
+    texts = [lm.rescore(bs, lm_weight=1.0)[0][0] if bs else ""
+             for bs in beams]
+    results["wordbeamsearch_fast+rescore(w=1)"] = {
+        "cer": round(cer(texts, eval_visual), 6),
+        "exact": round(float(np.mean(
+            [a == b for a, b in zip(texts, eval_visual)])), 4),
+        "seconds": round(time.time() - t0, 2),
+    }
 
     metrics = {
         "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
