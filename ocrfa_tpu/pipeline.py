@@ -57,6 +57,11 @@ class Recognizer:
         self.converter = converter
         self.variant = variant
         self.mesh = mesh
+        # decoder-fusion defaults used when predict() isn't given them
+        # explicitly — the hook that makes the fusion decoders reachable
+        # from the facade (OCR.readtext(decoder="wordbeamsearch_fast")
+        # can't thread a trie through the reference's kwarg surface)
+        self.decode_defaults: dict = {}
         self.quantized = quantized if variant == "gen1" else False
         if self.quantized == "static":
             from ocrfa_tpu.models.quant import (
@@ -217,16 +222,33 @@ class Recognizer:
         )
         return [[t, c] for t, c in zip(texts, confidences)]
 
+    def set_decode_defaults(self, **kwargs):
+        """Set fusion defaults for :meth:`predict`: ``lexicon``,
+        ``word_lm``, ``oov_penalty``, ``word_bonus``, ``word_lm_factor``,
+        ``beam_width``.  Returns ``self`` (chainable at construction)."""
+        allowed = {"lexicon", "word_lm", "oov_penalty", "word_bonus",
+                   "word_lm_factor", "beam_width"}
+        unknown = set(kwargs) - allowed
+        if unknown:
+            raise TypeError(f"unknown decode defaults: {sorted(unknown)}")
+        self.decode_defaults.update(kwargs)
+        return self
+
     def predict(self, batch: np.ndarray, keep_mask: np.ndarray,
-                decoder: str = "greedy", beam_width: int = 5,
-                lexicon=None, oov_penalty: float = -4.0,
-                word_bonus: float = 0.0, word_lm=None,
-                word_lm_factor: float = 0.5, return_beams: bool = False):
+                decoder: str = "greedy", beam_width=None,
+                lexicon=None, oov_penalty=None,
+                word_bonus=None, word_lm=None,
+                word_lm_factor=None, return_beams: bool = False):
         """Run one padded batch end-to-end; returns [[text, conf], ...].
 
         ``return_beams=True`` (fast decoders only) instead returns every
         live beam per sample as best-first ``[(text, logprob), ...]`` — the
         input :meth:`~ocrfa_tpu.decode.lm.WordNGramLM.rescore` expects.
+
+        Fusion arguments left at their defaults fall back to
+        :meth:`set_decode_defaults`, so a facade caller that can only pass
+        ``decoder=`` (the reference ``readtext`` kwarg surface) still gets
+        the configured lexicon/LM.
 
         Decoders: ``greedy`` (on-device, reference-exact), ``beamsearch`` /
         ``wordbeamsearch`` (host, reference-exact), ``beamsearch_fast``
@@ -240,6 +262,19 @@ class Recognizer:
         context, ``word_lm_factor * log P(word | previous word)``, inside
         the same device scan).
         """
+        d = self.decode_defaults
+        if beam_width is None:
+            beam_width = d.get("beam_width", 5)
+        if lexicon is None:
+            lexicon = d.get("lexicon")
+        if oov_penalty is None:
+            oov_penalty = d.get("oov_penalty", -4.0)
+        if word_bonus is None:
+            word_bonus = d.get("word_bonus", 0.0)
+        if word_lm is None:
+            word_lm = d.get("word_lm")
+        if word_lm_factor is None:
+            word_lm_factor = d.get("word_lm_factor", 0.5)
         if return_beams and decoder not in ("beamsearch_fast",
                                             "wordbeamsearch_fast"):
             raise ValueError("return_beams needs a *_fast device decoder")

@@ -162,6 +162,35 @@ class TestDeviceWordLMFusion:
                 peaked_logprobs(self.AMBIG),
                 word_lm_log=lm.bigram_log_matrix())
 
+    def test_decode_defaults_reach_facade_path(self):
+        """set_decode_defaults makes the fusion decoder usable through the
+        reference-shaped get_text call chain (which can only pass
+        decoder=/beamWidth=)."""
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.pipeline import Recognizer, get_text
+
+        chars = "abc "
+        conv = CTCLabelConverter(chars)
+        params = init_crnn_gen1(jax.random.PRNGKey(0),
+                                num_class=conv.num_classes,
+                                output_channel=32, hidden_size=32)
+        trie = LexiconTrie(["ab", "ac"], conv.character)
+        lm = WordNGramLM.fit(["ab ac"], vocab=trie.words, order=2)
+        rec = Recognizer(params, conv).set_decode_defaults(
+            lexicon=trie, word_lm=lm, oov_penalty=-2.0, beam_width=4)
+        crop = (np.random.default_rng(0).integers(0, 255, (64, 96))
+                .astype(np.uint8))
+        out = get_text(chars, 64, 128, rec,
+                       [([[0, 0], [96, 0], [96, 64], [0, 64]], crop)],
+                       decoder="wordbeamsearch_fast")
+        assert len(out) == 1 and isinstance(out[0][1], str)
+
+        with pytest.raises(TypeError, match="unknown decode defaults"):
+            rec.set_decode_defaults(beem_width=4)
+
     def test_pipeline_vocab_mismatch_raises(self):
         import jax
 
