@@ -376,6 +376,13 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     held_batch = tuple(map(jnp.asarray,
                            render_batch(pool_sampler(hrng, batch), hrng)))
 
+    # best-held-out tracking: long runs can diverge late (a 30k-step run
+    # bottomed at held 6.3 by 15k, then the cosine tail consolidated
+    # buffer memorization and held climbed to 32 — the final params were
+    # the WORST of the run).  Params are functional pytrees, so keeping
+    # the best snapshot is a free reference, no copy.
+    best = {"held": float("inf"), "params": None, "step": -1, "saved": -10**9}
+
     t0 = time.time()
     loss = float("nan")
     srng = np.random.default_rng(seed + 2)
@@ -424,25 +431,36 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                     if verbose:
                         print(f"step {i:4d}  -> streaming accel "
                               f"(visits/batch {reuse} -> {repl})", flush=True)
+        if i % 500 == 0 and i >= ignite_steps:
+            held_v = float(_eval_loss(params, *held_batch))
+            if held_v < best["held"]:
+                best.update(held=held_v, params=params, step=i)
+        else:
+            held_v = None
         if verbose and i % 100 == 0:
-            held = (f"  held {float(_eval_loss(params, *held_batch)):8.4f}"
-                    if i % 500 == 0 else "")
+            held = f"  held {held_v:8.4f}" if held_v is not None else ""
             print(f"step {i:4d}  loss {float(loss):8.4f}{held}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
-        if snapshot_path and i > 0 and i % snap_every == 0:
-            # evalable snapshot (BN-calibrated copy): the axon relay can
-            # die mid-run and take every device buffer with it — without
-            # snapshots that loses the whole run
+        if (snapshot_path and i > 0
+                and best["params"] is not None
+                and best["step"] - best["saved"] >= snap_every):
+            # evalable snapshot of the BEST-held-out params so far (BN-
+            # calibrated copy): the axon relay can die mid-run and take
+            # every device buffer with it — without snapshots that loses
+            # the whole run.  Snapshotting best (throttled to one write
+            # per snap_every steps of improvement) also means a crashed
+            # tail never costs the run's peak.
             recent = [((b[0].astype(np.float32) / 255.0) - 0.5) / 0.5
                       for b in list(calib_recent)[-4:]]
             snap = calibrate_bn_stats(
-                params, lambda p, b: crnn_apply(p, b),
+                best["params"], lambda p, b: crnn_apply(p, b),
                 [b[:32] for b in recent])
-            save_trained(snapshot_path + ".tmp", snap, float(loss),
+            save_trained(snapshot_path + ".tmp", snap, best["held"],
                          recent[:2],
                          dict(charset=charset, oc=oc, hs=hs,
-                              glyph_w=glyph_w, steps=i))
+                              glyph_w=glyph_w, steps=best["step"]))
             os.replace(snapshot_path + ".tmp", snapshot_path)
+            best["saved"] = best["step"]
     if verbose:
         print(f"trained {steps} steps, final loss {float(loss):.4f}")
     stop.set()
@@ -458,6 +476,14 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # This should track the train loss closely; a large gap means
     # memorization (train loss 0.17 / held-out CER 0.98 on a finite pool).
     held = float(_eval_loss(params, *held_batch))
+    if best["params"] is not None and best["held"] + 2.0 < held:
+        # late-run divergence: return the run's best-held-out params, not
+        # the final (memorized) ones
+        if verbose:
+            print(f"restoring best-held-out params from step {best['step']} "
+                  f"(held {best['held']:.4f} vs final {held:.4f})", flush=True)
+        params = best["params"]
+        held = float(_eval_loss(params, *held_batch))
     # comparand is a batch the model actually TRAINED on: the oldest
     # buffer resident was revisited a full complement of times (the raw
     # final train loss can be a short-anchor batch, which would flag a
