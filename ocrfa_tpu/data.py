@@ -97,6 +97,112 @@ class SyntheticFarsiLines:
             yield self.batch()
 
 
+class FontLineRenderer:
+    """Shaped real-typography Farsi line renderer (PIL + libraqm).
+
+    Unlike :class:`SyntheticFarsiLines` (per-character glyph stamps), this
+    renders text through HarfBuzz shaping: contextual Arabic letterforms
+    (initial/medial/final/isolated), cursive joining and required ligatures
+    — i.e. what scanned Farsi actually looks like.  The reference pipeline
+    consumes such scans at inference (ocr.py:504-582); this provides the
+    training/eval-side source for them.
+
+    Scope: pure right-to-left text only (Arabic-letter runs + spaces).  The
+    CRNN emits characters in VISUAL order (leftmost glyph first) and
+    `get_display` restores logical order (reference convention,
+    ocr.py:482-486); for RTL-only text visual order is exactly the reversed
+    logical string.  Mixed-direction content (digits, Latin) and combining
+    marks would break that reversal invariant, so callers should restrict
+    text to `bidirectional(c) == "AL"` characters plus spaces.
+
+    Requires PIL built with libraqm (``ImageFont`` ``direction=`` support);
+    raises at construction otherwise.
+    """
+
+    DEFAULT_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+    BOLD_FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf"
+
+    def __init__(self, font_path: str | None = None, height: int = 64,
+                 margin: int = 6, bold: bool = False):
+        from PIL import ImageFont, features
+
+        if not features.check("raqm"):
+            raise RuntimeError(
+                "FontLineRenderer needs PIL built with libraqm for RTL "
+                "shaping (PIL.features.check('raqm') is False)")
+        if font_path is None:
+            font_path = self.BOLD_FONT if bold else self.DEFAULT_FONT
+        self.font_path = font_path
+        self.height = height
+        self.margin = margin
+        # largest size whose ascent+descent fits the line height with a
+        # little breathing room (glyphs must not clip: descenders carry
+        # distinguishing dots in Arabic)
+        size = height
+        while size > 4:
+            f = ImageFont.truetype(font_path, size)
+            asc, desc = f.getmetrics()
+            if asc + desc <= height - 2:
+                break
+            size -= 1
+        self.font = f
+        self.size = size
+        self._y0 = (height - (f.getmetrics()[0] + f.getmetrics()[1])) // 2
+        self._cmap = None
+
+    def covers(self, text: str) -> bool:
+        """True if the font's cmap maps every non-space character."""
+        if self._cmap is None:
+            try:
+                from fontTools.ttLib import TTFont
+
+                self._cmap = set(TTFont(self.font_path).getBestCmap())
+            except Exception:
+                self._cmap = set()
+        if not self._cmap:
+            return True  # no fontTools: optimistic (notdef boxes render)
+        return all(ord(c) in self._cmap for c in text if not c.isspace())
+
+    def measure(self, text: str) -> int:
+        """Advance width in pixels of the shaped RTL run (no margins)."""
+        if not text:
+            return 0
+        return int(np.ceil(self.font.getlength(text, direction="rtl")))
+
+    def fit_text(self, text: str, max_w: int) -> str:
+        """Longest logical prefix whose shaped width fits ``max_w``.
+
+        Truncating the logical TAIL removes the LEFTMOST glyphs of an RTL
+        render, so label and image stay consistent (the line still starts
+        at its right edge)."""
+        while text and self.measure(text) > max_w:
+            text = text[:-1].rstrip()
+        return text
+
+    def render(self, text: str) -> np.ndarray:
+        """Greyscale u8 crop (height, W): dark shaped text on white."""
+        from PIL import Image, ImageDraw
+
+        w = max(8, self.measure(text)) + 2 * self.margin
+        img = Image.new("L", (w, self.height), 255)
+        ImageDraw.Draw(img).text((self.margin, self._y0), text,
+                                 font=self.font, fill=0, direction="rtl")
+        return np.asarray(img, dtype=np.uint8)
+
+
+def rtl_letters(charset: str) -> str:
+    """The subset of ``charset`` safe for :class:`FontLineRenderer` text:
+    Arabic-letter (bidi class AL) characters plus the space, excluding
+    combining marks/digits/Latin (which would break the visual-order =
+    reversed-logical invariant — see the class docstring)."""
+    import unicodedata
+
+    keep = [c for c in charset if unicodedata.bidirectional(c) == "AL"]
+    if " " in charset:
+        keep.append(" ")
+    return "".join(keep)
+
+
 class Prefetcher:
     """Background-thread batch prefetch (depth-bounded queue).
 

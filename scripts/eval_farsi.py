@@ -116,7 +116,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                glyph_w=24, seed=0, verbose=True, lr=1e-3,
                short_sampler=None, pool_sampler=None, augment=None,
                reuse=24, buffer_batches=64, ignite_batches=5,
-               snapshot_path=None, snap_every=2000):
+               snapshot_path=None, snap_every=2000,
+               renderer=None, ladder_samplers=None):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -199,10 +200,11 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # blended jump re-aligns too slowly.  Each ladder rung extends max_len
     # a little, so alignment for length L+1 is a small perturbation of the
     # already-locked length-L solution.
-    ladder_samplers = ([
-        (lambda lo, hi: (lambda r, n: sample_texts(r, charset, n,
-                                                   min_len=lo, max_len=hi)))(lo, hi)
-        for lo, hi in [(2, 5), (2, 7)]] if default_samplers else [])
+    if ladder_samplers is None:
+        ladder_samplers = ([
+            (lambda lo, hi: (lambda r, n: sample_texts(r, charset, n,
+                                                       min_len=lo, max_len=hi)))(lo, hi)
+            for lo, hi in [(2, 5), (2, 7)]] if default_samplers else [])
 
     # rungs: short (1-3) -> ladder -> full-length pool, climbed by the
     # loss-adaptive gate below, with a 15% short-line anchor forever
@@ -221,16 +223,22 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # path uses.  Streamed outliers beyond a rung's probe max truncate.
     probe = np.random.default_rng(seed + 7)
 
-    def _probe_len(sampler):
-        return max(len(t) for _ in range(4)
-                   for t in sampler(probe, max(train_pool, 32)))
+    def _probe_rung(sampler):
+        """(max label length, canvas width) for one rung's sampler.
 
-    def _width_for(maxlen):
-        w = (glyph_w + 3) * maxlen + 16 + 10  # bearings + margins + jitter
-        return -(-w // 64) * 64
+        With a shaped-font renderer the per-character advance varies (and
+        joining shrinks words), so the canvas is sized from MEASURED pixel
+        widths of probed samples rather than a glyph-advance formula."""
+        texts = [t for _ in range(4)
+                 for t in sampler(probe, max(train_pool, 32))]
+        maxlen = max(len(t) for t in texts) + 1
+        if renderer is not None:
+            w = max(renderer.measure(t) for t in texts) + 16 + 10
+        else:
+            w = (glyph_w + 3) * maxlen + 16 + 10  # bearings+margins+jitter
+        return maxlen, -(-w // 64) * 64
 
-    rung_maxlen = [_probe_len(s) + 1 for s in rungs]
-    rung_width = [_width_for(m) for m in rung_maxlen]
+    rung_maxlen, rung_width = zip(*[_probe_rung(s) for s in rungs])
     max_l = max(rung_maxlen)
     width = max(rung_width)  # held-out / calibration canvas
 
@@ -261,8 +269,12 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         # the full text)
         fit = min(max_l, (cw - 16 - 10) // (glyph_w + 3))
         for i, t in enumerate(texts):
-            t = t[:fit]
-            crop = render_crop(t, font, glyph_w, margin=6)
+            if renderer is not None:
+                t = renderer.fit_text(t[:max_l], cw - 16 - 10)
+                crop = renderer.render(t)
+            else:
+                t = t[:fit]
+                crop = render_crop(t, font, glyph_w, margin=6)
             if jitter:
                 crop = train_jitter(crop, r)
             if augment is not None:
@@ -541,6 +553,12 @@ def main():
     ap.add_argument("--eval-lines", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
+    ap.add_argument("--realfont", action="store_true",
+                    help="train/eval on REAL shaped Farsi typography "
+                         "(PIL+libraqm + DejaVu Sans: contextual letterforms, "
+                         "cursive joining) instead of per-character glyph "
+                         "stamps; text restricted to the charset's "
+                         "Arabic-letter subset + space")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin overrides "
                          "JAX_PLATFORMS, so an env var is not enough)")
@@ -580,23 +598,42 @@ def main():
         charset, oc, hs, glyph_w = (meta["charset"], meta["oc"], meta["hs"],
                                     meta["glyph_w"])
         args.steps = meta["steps"]
-    else:
+        args.realfont = bool(meta.get("realfont", args.realfont))
+    renderer, text_charset = None, charset
+    if args.realfont:
+        from ocrfa_tpu.data import FontLineRenderer, rtl_letters
+
+        renderer = FontLineRenderer(height=64)
+        text_charset = "".join(c for c in rtl_letters(charset)
+                               if renderer.covers(c))
+    if not args.load_params:
+        extra = {}
+        if renderer is not None:
+            def mk(lo, hi):
+                return lambda r, n: sample_texts(r, text_charset, n,
+                                                 min_len=lo, max_len=hi)
+
+            extra = dict(renderer=renderer, short_sampler=mk(1, 3),
+                         ladder_samplers=[mk(2, 5), mk(2, 7)],
+                         pool_sampler=mk(2, 9))
         params, conv, font, loss, calib_batches = train_gen1(
             charset, steps=args.steps, train_pool=args.train_pool,
             batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr,
             snapshot_path=(args.save_params + ".snap"
-                           if args.save_params else None))
+                           if args.save_params else None), **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
-                          steps=args.steps))
+                          steps=args.steps, realfont=bool(args.realfont)))
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
-    eval_texts = sample_texts(rng, charset, args.eval_lines)
+    eval_texts = sample_texts(rng, text_charset, args.eval_lines)
     # model output is in visual order; ground truth for CER must match
     eval_visual = [t[::-1] for t in eval_texts]
-    crops = [render_crop(t, font, glyph_w, margin=6) for t in eval_texts]
+    crops = [renderer.render(t) if renderer is not None
+             else render_crop(t, font, glyph_w, margin=6)
+             for t in eval_texts]
     image_list = []
     y = 0
     for crop in crops:
@@ -656,6 +693,9 @@ def main():
     metrics = {
         "eval_lines": len(eval_texts),
         "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
+        "text_source": ("shaped DejaVu Sans (real typography, "
+                        f"{len(text_charset)}-char RTL subset)"
+                        if args.realfont else "blob glyph stamps"),
         "train_steps": args.steps,
         "final_ctc_loss": round(float(loss), 4),
         "exact_match_vs_reference": exact,

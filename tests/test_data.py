@@ -56,3 +56,63 @@ class TestPrefetcher:
         pf = Prefetcher(iter(range(1000)), depth=2)
         next(pf)
         pf.close()
+
+
+class TestFontLineRenderer:
+    """Shaped real-typography rendering (skipped if PIL lacks libraqm)."""
+
+    @staticmethod
+    def _renderer():
+        import pytest
+
+        from ocrfa_tpu.data import FontLineRenderer
+
+        try:
+            return FontLineRenderer(height=64)
+        except RuntimeError as e:
+            pytest.skip(str(e))
+
+    def test_render_shape_and_ink(self):
+        r = self._renderer()
+        crop = r.render("سلام دنیا")
+        assert crop.dtype == np.uint8
+        assert crop.shape[0] == 64
+        # white background at the corners, real ink somewhere
+        assert crop[0, 0] == 255 and crop[-1, -1] == 255
+        assert (crop < 128).sum() > 50
+
+    def test_measure_monotonic_and_matches_render(self):
+        r = self._renderer()
+        short, long = "اب", "ابجدهوزحطی"
+        assert r.measure(long) > r.measure(short) > 0
+        crop = r.render(long)
+        assert crop.shape[1] == max(8, r.measure(long)) + 2 * r.margin
+
+    def test_fit_text_truncates_to_budget(self):
+        r = self._renderer()
+        text = "ابجد هوز حطی کلمن"
+        budget = r.measure(text) // 2
+        fitted = r.fit_text(text, budget)
+        assert fitted and r.measure(fitted) <= budget
+        assert text.startswith(fitted)
+
+    def test_shaping_is_contextual(self):
+        """Joined text is narrower than the sum of isolated letterforms —
+        proof the render goes through real shaping, not glyph stamping."""
+        r = self._renderer()
+        word = "بببب"
+        assert r.measure(word) < 4 * r.measure("ب")
+
+    def test_covers(self):
+        r = self._renderer()
+        assert r.covers("سلام دنیا")
+        assert not r.covers("ٱۀ")  # known gaps in DejaVu Sans
+
+
+class TestRtlLetters:
+    def test_filters_to_safe_subset(self):
+        from ocrfa_tpu.data import rtl_letters
+
+        sub = rtl_letters("اب1a ًA")
+        assert "ا" in sub and "ب" in sub and " " in sub
+        assert "1" not in sub and "a" not in sub and "ً" not in sub
