@@ -190,6 +190,44 @@ class FontLineRenderer:
         return np.asarray(img, dtype=np.uint8)
 
 
+class MultiFontLineRenderer:
+    """Deterministic per-line font mixing over several renderers.
+
+    Each text line routes to one underlying :class:`FontLineRenderer` keyed
+    by its FIRST character, so ``measure``/``fit_text``/``render`` stay
+    consistent for the same line even after ``fit_text`` truncates the tail
+    (truncation keeps the prefix).  Training over a font mix (e.g. DejaVu
+    Sans regular + bold) forces glyph-shape robustness instead of
+    single-face template matching.
+    """
+
+    def __init__(self, renderers):
+        self.renderers = list(renderers)
+        if not self.renderers:
+            raise ValueError("need at least one renderer")
+        heights = {r.height for r in self.renderers}
+        if len(heights) != 1:
+            raise ValueError(f"renderer heights differ: {heights}")
+        self.height = self.renderers[0].height
+        self.margin = self.renderers[0].margin
+
+    def _pick(self, text: str):
+        return self.renderers[ord(text[0]) % len(self.renderers)
+                              if text else 0]
+
+    def covers(self, text: str) -> bool:
+        return all(r.covers(text) for r in self.renderers)
+
+    def measure(self, text: str) -> int:
+        return self._pick(text).measure(text)
+
+    def fit_text(self, text: str, max_w: int) -> str:
+        return self._pick(text).fit_text(text, max_w)
+
+    def render(self, text: str) -> np.ndarray:
+        return self._pick(text).render(text)
+
+
 def rtl_letters(charset: str) -> str:
     """The subset of ``charset`` safe for :class:`FontLineRenderer` text:
     Arabic-letter (bidi class AL) characters plus the space, excluding

@@ -559,6 +559,10 @@ def main():
                          "cursive joining) instead of per-character glyph "
                          "stamps; text restricted to the charset's "
                          "Arabic-letter subset + space")
+    ap.add_argument("--font-mix", action="store_true",
+                    help="with --realfont: mix DejaVu Sans regular + bold "
+                         "per line (font-shape robustness, not single-face "
+                         "template matching)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the axon plugin overrides "
                          "JAX_PLATFORMS, so an env var is not enough)")
@@ -599,11 +603,16 @@ def main():
                                     meta["glyph_w"])
         args.steps = meta["steps"]
         args.realfont = bool(meta.get("realfont", args.realfont))
+        args.font_mix = bool(meta.get("font_mix", args.font_mix))
     renderer, text_charset = None, charset
     if args.realfont:
-        from ocrfa_tpu.data import FontLineRenderer, rtl_letters
+        from ocrfa_tpu.data import (FontLineRenderer, MultiFontLineRenderer,
+                                    rtl_letters)
 
         renderer = FontLineRenderer(height=64)
+        if getattr(args, "font_mix", False):
+            renderer = MultiFontLineRenderer(
+                [renderer, FontLineRenderer(height=64, bold=True)])
         text_charset = "".join(c for c in rtl_letters(charset)
                                if renderer.covers(c))
     if not args.load_params:
@@ -624,7 +633,8 @@ def main():
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
-                          steps=args.steps, realfont=bool(args.realfont)))
+                          steps=args.steps, realfont=bool(args.realfont),
+                          font_mix=bool(args.font_mix)))
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
@@ -693,8 +703,8 @@ def main():
     metrics = {
         "eval_lines": len(eval_texts),
         "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
-        "text_source": ("shaped DejaVu Sans (real typography, "
-                        f"{len(text_charset)}-char RTL subset)"
+        "text_source": ((f"shaped DejaVu Sans{' +Bold mix' if args.font_mix else ''}"
+                         f" (real typography, {len(text_charset)}-char RTL subset)")
                         if args.realfont else "blob glyph stamps"),
         "train_steps": args.steps,
         "final_ctc_loss": round(float(loss), 4),

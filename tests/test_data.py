@@ -116,3 +116,25 @@ class TestRtlLetters:
         sub = rtl_letters("اب1a ًA")
         assert "ا" in sub and "ب" in sub and " " in sub
         assert "1" not in sub and "a" not in sub and "ً" not in sub
+
+
+class TestMultiFontLineRenderer:
+    def test_pick_stable_under_truncation(self):
+        import pytest
+
+        from ocrfa_tpu.data import FontLineRenderer, MultiFontLineRenderer
+
+        try:
+            mix = MultiFontLineRenderer([FontLineRenderer(height=64),
+                                         FontLineRenderer(height=64, bold=True)])
+        except RuntimeError as e:
+            pytest.skip(str(e))
+        text = "ابجد هوز حطی"
+        fitted = mix.fit_text(text, mix.measure(text) // 2)
+        # same underlying renderer before and after truncation
+        assert mix._pick(text) is mix._pick(fitted)
+        crop = mix.render(fitted)
+        assert crop.shape == (64, max(8, mix.measure(fitted)) + 2 * mix.margin)
+        # both fonts are actually reachable across different first letters
+        picks = {id(mix._pick(c)) for c in "ابجدهوزحطيكلمنسعفص"}
+        assert len(picks) == 2
