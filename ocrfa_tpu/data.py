@@ -9,6 +9,10 @@ This module provides one:
   images with CTC labels (RTL layout, random lengths/jitter).  Deterministic
   per seed; good for overfit checks, decoder smoke tests, and pretraining
   scaffolds until real corpora are mounted.
+* :class:`FontLineRenderer` / :class:`MultiFontLineRenderer` — REAL shaped
+  Farsi typography (PIL + libraqm HarfBuzz shaping: contextual letterforms,
+  cursive joining, ligatures), single face or a deterministic per-line font
+  mix; `rtl_letters` picks the charset subset that renders safely RTL.
 * :class:`Prefetcher` — a background-thread iterator that keeps N batches
   ready so the 1-core host's rendering overlaps device steps.
 """
