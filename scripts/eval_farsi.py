@@ -117,7 +117,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                short_sampler=None, pool_sampler=None, augment=None,
                reuse=24, buffer_batches=64, ignite_batches=5,
                snapshot_path=None, snap_every=2000,
-               renderer=None, ladder_samplers=None):
+               renderer=None, ladder_samplers=None, ema_decay=None):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -395,6 +395,16 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # the best snapshot is a free reference, no copy.
     best = {"held": float("inf"), "params": None, "step": -1, "saved": -10**9}
 
+    # optional Polyak/EMA averaging (started after ignition): each replay
+    # step fits the sampled buffer slot, so raw params oscillate around the
+    # shared glyph-grounded solution — the average across slots is a less
+    # memorization-contaminated estimate of it.  The EMA is probed on the
+    # held batch alongside the raw params and competes for best/final.
+    ema_params = None
+    if ema_decay:
+        _ema_update = jax.jit(lambda e, p: jax.tree.map(
+            lambda a, b: ema_decay * a + (1.0 - ema_decay) * b, e, p))
+
     t0 = time.time()
     loss = float("nan")
     srng = np.random.default_rng(seed + 2)
@@ -422,6 +432,9 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                 since_repl = 0
             im, lb, ln = buffer[int(srng.integers(len(buffer)))]
         params, state, loss = step(params, state, im, lb, ln)
+        if ema_decay and i >= ignite_steps:
+            ema_params = params if ema_params is None else _ema_update(
+                ema_params, params)
         if i >= ignite_steps and i % 25 == 0:
             # loss-adaptive ladder bookkeeping (sync every 25 steps only —
             # a per-step float() would add a dispatch RTT per step)
@@ -445,8 +458,14 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                               f"(visits/batch {reuse} -> {repl})", flush=True)
         if i % 500 == 0 and i >= ignite_steps:
             held_v = float(_eval_loss(params, *held_batch))
-            if held_v < best["held"]:
-                best.update(held=held_v, params=params, step=i)
+            cand_held, cand_params = held_v, params
+            if ema_params is not None:
+                held_e = float(_eval_loss(ema_params, *held_batch))
+                if held_e < cand_held:
+                    cand_held, cand_params = held_e, ema_params
+                held_v = min(held_v, held_e)
+            if cand_held < best["held"]:
+                best.update(held=cand_held, params=cand_params, step=i)
         else:
             held_v = None
         if verbose and i % 100 == 0:
@@ -488,14 +507,22 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # This should track the train loss closely; a large gap means
     # memorization (train loss 0.17 / held-out CER 0.98 on a finite pool).
     held = float(_eval_loss(params, *held_batch))
-    if best["params"] is not None and best["held"] + 2.0 < held:
-        # late-run divergence: return the run's best-held-out params, not
-        # the final (memorized) ones
+    cands = [("final", params, held)]
+    if ema_params is not None:
+        cands.append(("final-ema", ema_params,
+                      float(_eval_loss(ema_params, *held_batch))))
+    if best["params"] is not None:
+        cands.append((f"best@step{best['step']}", best["params"], best["held"]))
+    tag, sel, h = min(cands, key=lambda c: c[2])
+    if sel is not params and h + 0.5 < held:
+        # late-run divergence (or the EMA won): return the run's best
+        # held-out params, not the final (possibly memorized) ones.  The
+        # margin keeps the final params when the probe difference is noise-
+        # level — they saw the most fresh data.
         if verbose:
-            print(f"restoring best-held-out params from step {best['step']} "
-                  f"(held {best['held']:.4f} vs final {held:.4f})", flush=True)
-        params = best["params"]
-        held = float(_eval_loss(params, *held_batch))
+            print(f"restoring {tag} params "
+                  f"(held {h:.4f} vs final {held:.4f})", flush=True)
+        params, held = sel, h
     # comparand is a batch the model actually TRAINED on: the oldest
     # buffer resident was revisited a full complement of times (the raw
     # final train loss can be a short-anchor batch, which would flag a
@@ -552,6 +579,10 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--eval-lines", type=int, default=256)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="Polyak/EMA parameter-averaging decay (e.g. 0.999); "
+                         "0 disables.  The EMA competes with raw params on "
+                         "the held-out probe for the returned weights")
     ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
     ap.add_argument("--realfont", action="store_true",
                     help="train/eval on REAL shaped Farsi typography "
@@ -629,7 +660,8 @@ def main():
             charset, steps=args.steps, train_pool=args.train_pool,
             batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr,
             snapshot_path=(args.save_params + ".snap"
-                           if args.save_params else None), **extra)
+                           if args.save_params else None),
+            ema_decay=(args.ema or None), **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
