@@ -33,14 +33,15 @@ import numpy as np
 from eval_farsi import render_crop, sample_texts, train_gen1
 
 
-def compose_page(texts, font, glyph_w, page_w=640, margin=16, pitch=80):
+def compose_page(texts, render_line, page_w=640, margin=16, pitch=80):
     """Stack rendered lines on a white page; returns (page, horizontal_list)
-    with reference-format boxes [x_min, x_max, y_min, y_max]."""
+    with reference-format boxes [x_min, x_max, y_min, y_max].
+    ``render_line``: text -> u8 (64, W) crop."""
     page_h = margin * 2 + pitch * len(texts)
     page = np.full((page_h, page_w), 245, dtype=np.uint8)
     boxes = []
     for i, t in enumerate(texts):
-        crop = render_crop(t, font, glyph_w, margin=6)
+        crop = render_line(t)
         h, w = crop.shape
         y, x = margin + i * pitch, margin
         w = min(w, page_w - 2 * margin)
@@ -141,17 +142,33 @@ def main():
                                     meta["glyph_w"])
         args.steps = meta["steps"]
     else:
+        meta = {}
         params, conv, font, loss, calib = train_gen1(
             charset, steps=args.steps, oc=oc, hs=hs, glyph_w=glyph_w,
             seed=args.seed)
+    text_charset = charset
+    if meta.get("realfont"):
+        # pickle trained on shaped typography: compose pages the same way
+        from ocrfa_tpu.data import (FontLineRenderer, MultiFontLineRenderer,
+                                    rtl_letters)
+
+        renderer = FontLineRenderer(height=64)
+        if meta.get("font_mix"):
+            renderer = MultiFontLineRenderer(
+                [renderer, FontLineRenderer(height=64, bold=True)])
+        render_line = renderer.render
+        text_charset = "".join(c for c in rtl_letters(charset)
+                               if renderer.covers(c))
+    else:
+        render_line = lambda t: render_crop(t, font, glyph_w, margin=6)  # noqa: E731
     recognizer = Recognizer(params, conv)
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
 
     rng = np.random.default_rng(7)
     pages, truth, gt_boxes = [], [], []
     for _ in range(args.pages):
-        texts = sample_texts(rng, charset, args.lines_per_page)
-        page, boxes = compose_page(texts, font, glyph_w, page_w=args.page_width)
+        texts = sample_texts(rng, text_charset, args.lines_per_page)
+        page, boxes = compose_page(texts, render_line, page_w=args.page_width)
         pages.append(page)
         truth.append(texts)
         gt_boxes.append(boxes)
@@ -251,7 +268,8 @@ def main():
     metrics = {
         "pages": args.pages,
         "lines_per_page": args.lines_per_page,
-        "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
+        "model": (f"gen1 {oc}/{hs}, {len(charset)}-char charset"
+                  + (" (shaped typography)" if meta.get("realfont") else "")),
         "train_steps": args.steps,
         "final_ctc_loss": round(float(loss), 4),
         "cer_host_path_vs_truth": round(cer(host_flat, flat_truth), 6),
