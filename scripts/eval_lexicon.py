@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--beam-width", type=int, default=8)
     ap.add_argument("--small", action="store_true",
                     help="64-ch model + tiny charset (CPU smoke)")
+    ap.add_argument("--realfont", action="store_true",
+                    help="shaped DejaVu typography instead of glyph stamps")
+    ap.add_argument("--font-mix", action="store_true",
+                    help="with --realfont: mix regular + bold per line")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -93,8 +97,20 @@ def main():
 
     # fixed word vocabulary over the Arabic block of the charset
     rng = np.random.default_rng(7)
-    letters = [c for c in charset
-               if c.isalpha() and ("؀" <= c <= "ۿ" or args.small)]
+    renderer = None
+    if args.realfont:
+        from ocrfa_tpu.data import (FontLineRenderer, MultiFontLineRenderer,
+                                    rtl_letters)
+
+        renderer = FontLineRenderer(height=64)
+        if args.font_mix:
+            renderer = MultiFontLineRenderer(
+                [renderer, FontLineRenderer(height=64, bold=True)])
+        letters = [c for c in rtl_letters(charset)
+                   if c != " " and renderer.covers(c)]
+    else:
+        letters = [c for c in charset
+                   if c.isalpha() and ("؀" <= c <= "ۿ" or args.small)]
     vocab = set()
     while len(vocab) < args.vocab:
         vocab.add("".join(rng.choice(letters,
@@ -141,13 +157,14 @@ def main():
         charset, steps=args.steps, train_pool=args.train_pool,
         batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w,
         short_sampler=short_sampler, pool_sampler=words_sampler,
-        augment=train_augment)
+        augment=train_augment, renderer=renderer)
 
     # ---- degraded held-out eval set ---------------------------------------
     erng = np.random.default_rng(99)
     eval_texts = words_sampler(erng, args.eval_lines)
     eval_visual = [t[::-1] for t in eval_texts]  # model emits visual order
-    crops = [degrade(render_crop(t, font, glyph_w, margin=6), erng,
+    crops = [degrade(renderer.render(t) if renderer is not None
+                     else render_crop(t, font, glyph_w, margin=6), erng,
                      noise=args.noise, contrast=args.contrast)
              for t in eval_texts]
     width = -(-max(c.shape[1] for c in crops) // 64) * 64
@@ -214,6 +231,9 @@ def main():
 
     metrics = {
         "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
+        "text_source": (("shaped DejaVu Sans"
+                         + (" +Bold mix" if args.font_mix else ""))
+                        if args.realfont else "blob glyph stamps"),
         "train_steps": args.steps,
         "final_ctc_loss": round(float(loss), 4),
         "vocab_words": len(vocab),
