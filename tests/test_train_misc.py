@@ -91,3 +91,25 @@ class TestStreamingTrainer:
             assert not t.startswith(" ") and not t.endswith(" ")
             assert "  " not in t
             assert t.count(" ") <= 1
+
+    def test_train_gen1_with_shaped_renderer_and_ema(self):
+        """Renderer + EMA plumbing: rung widths probe measured shaped
+        pixels, labels always match the rendered (possibly truncated)
+        text, and the EMA/best-restore machinery runs to completion."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        import pytest
+        from eval_farsi import train_gen1
+
+        try:
+            from ocrfa_tpu.data import FontLineRenderer
+            renderer = FontLineRenderer(height=64)
+        except RuntimeError as e:
+            pytest.skip(str(e))
+        params, conv, font, loss, calib = train_gen1(
+            "ابت", steps=5, batch=4, oc=16, hs=16, glyph_w=8,
+            verbose=False, reuse=2, renderer=renderer, ema_decay=0.9)
+        assert np.isfinite(float(loss))
+        assert len(calib) == 2
