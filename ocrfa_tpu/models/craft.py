@@ -25,32 +25,34 @@ import jax.numpy as jnp
 from ocrfa_tpu.models.layers import batch_norm, conv2d, max_pool, relu, resize_bilinear
 
 
-def _cbr(p_conv, p_bn, x, act=True):
-    x = batch_norm(conv2d(x, p_conv["w"], p_conv["b"], padding=1), p_bn)
+def _cbr(p_conv, p_bn, x, act=True, train=False):
+    x = batch_norm(conv2d(x, p_conv["w"], p_conv["b"], padding=1), p_bn,
+                   train=train)
     return relu(x) if act else x
 
 
-def vgg16_bn_features(p, x):
+def vgg16_bn_features(p, x, train=False):
     """Reference-sliced VGG16-BN: returns (fc7, s16, s8, s4, s2) taps."""
-    x = _cbr(p["conv0"], p["bn0"], x)
-    x = _cbr(p["conv1"], p["bn1"], x)
+    t = train
+    x = _cbr(p["conv0"], p["bn0"], x, train=t)
+    x = _cbr(p["conv1"], p["bn1"], x, train=t)
     x = max_pool(x, 2, 2)
-    x = _cbr(p["conv2"], p["bn2"], x)
-    s2 = _cbr(p["conv3"], p["bn3"], x)                     # 128ch, /2 (post-relu tap)
+    x = _cbr(p["conv2"], p["bn2"], x, train=t)
+    s2 = _cbr(p["conv3"], p["bn3"], x, train=t)            # 128ch, /2 (post-relu tap)
 
     x = max_pool(s2, 2, 2)
-    x = _cbr(p["conv4"], p["bn4"], x)
-    s4 = _cbr(p["conv5"], p["bn5"], x)                     # 256ch, /4 (post-relu tap)
+    x = _cbr(p["conv4"], p["bn4"], x, train=t)
+    s4 = _cbr(p["conv5"], p["bn5"], x, train=t)            # 256ch, /4 (post-relu tap)
 
-    x = _cbr(p["conv6"], p["bn6"], s4)
+    x = _cbr(p["conv6"], p["bn6"], s4, train=t)
     x = max_pool(x, 2, 2)
-    x = _cbr(p["conv7"], p["bn7"], x)
-    s8 = _cbr(p["conv8"], p["bn8"], x)                     # 512ch, /8 (post-relu tap)
+    x = _cbr(p["conv7"], p["bn7"], x, train=t)
+    s8 = _cbr(p["conv8"], p["bn8"], x, train=t)            # 512ch, /8 (post-relu tap)
 
-    x = _cbr(p["conv9"], p["bn9"], s8)
+    x = _cbr(p["conv9"], p["bn9"], s8, train=t)
     x = max_pool(x, 2, 2)
-    x = _cbr(p["conv10"], p["bn10"], x)
-    s16 = _cbr(p["conv11"], p["bn11"], x, act=False)       # 512ch, /16 (pre-relu tap)
+    x = _cbr(p["conv10"], p["bn10"], x, train=t)
+    s16 = _cbr(p["conv11"], p["bn11"], x, act=False, train=t)  # 512ch, /16 (pre-relu tap)
 
     x = max_pool(s16, (3, 3), (1, 1), padding=(1, 1))
     x = conv2d(x, p["fc6"]["w"], p["fc6"]["b"], padding=6, dilation=6)
@@ -59,29 +61,34 @@ def vgg16_bn_features(p, x):
     return fc7, s16, s8, s4, s2
 
 
-def _double_conv(p, x):
-    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]), p["bn1"]))
-    return relu(batch_norm(conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1), p["bn2"]))
+def _double_conv(p, x, train=False):
+    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], p["conv1"]["b"]), p["bn1"],
+                        train=train))
+    return relu(batch_norm(conv2d(x, p["conv2"]["w"], p["conv2"]["b"], padding=1),
+                           p["bn2"], train=train))
 
 
-def craft_apply(params, x):
-    """Page canvas (N, H, W, 3) -> ((N, H/2, W/2, 2) heatmaps, feature)."""
-    fc7, s16, s8, s4, s2 = vgg16_bn_features(params["vgg"], x)
+def craft_apply(params, x, train=False):
+    """Page canvas (N, H, W, 3) -> ((N, H/2, W/2, 2) heatmaps, feature).
+
+    ``train=True`` runs the batch norms on batch statistics (the trainer
+    path; the reference has no CRAFT trainer at all — SURVEY.md §3.5)."""
+    fc7, s16, s8, s4, s2 = vgg16_bn_features(params["vgg"], x, train=train)
 
     y = jnp.concatenate([fc7, s16], axis=-1)
-    y = _double_conv(params["upconv1"], y)
+    y = _double_conv(params["upconv1"], y, train=train)
 
     y = resize_bilinear(y, s8.shape[1:3])
     y = jnp.concatenate([y, s8], axis=-1)
-    y = _double_conv(params["upconv2"], y)
+    y = _double_conv(params["upconv2"], y, train=train)
 
     y = resize_bilinear(y, s4.shape[1:3])
     y = jnp.concatenate([y, s4], axis=-1)
-    y = _double_conv(params["upconv3"], y)
+    y = _double_conv(params["upconv3"], y, train=train)
 
     y = resize_bilinear(y, s2.shape[1:3])
     y = jnp.concatenate([y, s2], axis=-1)
-    feature = _double_conv(params["upconv4"], y)
+    feature = _double_conv(params["upconv4"], y, train=train)
 
     y = feature
     cls = params["conv_cls"]

@@ -209,6 +209,54 @@ def calibrate_bn_stats(params, apply_fn, batches, momentum: float | None = None)
     return rewrite(params)
 
 
+def craft_ohem_mse_loss(pred, batch, negative_ratio: float = 3.0,
+                        pos_thresh: float = 0.1, min_negatives: int = 512):
+    """CRAFT objective: pixel MSE over (region, affinity) with online hard
+    negative mining — every positive plus the hardest ``negative_ratio`` x
+    negatives contribute (``min_negatives`` keeps the mining alive on
+    near-empty pages).  Expressed as descending sort + prefix mask so the
+    data-dependent top-k stays static-shape under jit (same trick as
+    losses.balance_bce_loss).
+
+    ``pred``: (N, h, w, 2) raw heads; ``batch["region"]``/``["affinity"]``:
+    (N, h, w) gaussian targets in [0, 1].
+    """
+    gt = jnp.stack([batch["region"], batch["affinity"]], axis=-1)
+    err = (pred.astype(jnp.float32) - gt) ** 2
+    pos = (gt > pos_thresh).astype(jnp.float32)
+    n_pos = jnp.sum(pos)
+    n_neg = jnp.minimum(
+        jnp.maximum(n_pos * negative_ratio, float(min_negatives)),
+        jnp.sum(1.0 - pos))
+    n_neg = jnp.floor(n_neg)
+
+    pos_loss = jnp.sum(err * pos) / jnp.maximum(n_pos, 1.0)
+    flat = jnp.sort((err * (1.0 - pos)).reshape(-1))[::-1]
+    take = jnp.arange(flat.shape[0]) < n_neg
+    neg_loss = jnp.sum(jnp.where(take, flat, 0.0)) / jnp.maximum(n_neg, 1.0)
+    return pos_loss + neg_loss
+
+
+def make_craft_train_step(optimizer):
+    """Jitted CRAFT train step — the detection trainer the reference never
+    shipped for its primary detector.  ``batch``: ``image`` (N, H, W, 3)
+    mean/variance-normalised canvases + the ``geometry.craft_maps``
+    supervision maps (``region``/``affinity`` at (N, H/2, W/2))."""
+    from ocrfa_tpu.models.craft import craft_apply
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        def loss_fn(p):
+            pred, _ = craft_apply(p, batch["image"], train=True)
+            return craft_ohem_mse_loss(pred, batch)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    return train_step
+
+
 def make_dbnet_train_step(optimizer, backbone: str = "resnet18",
                           loss_name: str = "L1BalanceCELoss"):
     """DBNet training step — the trainer the reference never shipped
