@@ -80,7 +80,13 @@ def splat_quads(shape, quads, template=None) -> np.ndarray:
         y1 = min(int(np.ceil(quad[:, 1].max())), h - 1)
         if x1 <= x0 or y1 <= y0:
             continue
-        m = perspective_transform(src, quad - [x0, y0])
+        try:
+            m = perspective_transform(src, quad - [x0, y0])
+        except np.linalg.LinAlgError:
+            # degenerate quad (collinear/coincident points) with a
+            # non-degenerate bounding box — e.g. the affinity quad of two
+            # zero-area character boxes; no meaningful warp exists
+            continue
         patch = warp_perspective(template, m, (x1 - x0 + 1, y1 - y0 + 1))
         canvas[y0:y1 + 1, x0:x1 + 1] = np.maximum(
             canvas[y0:y1 + 1, x0:x1 + 1], patch.astype(np.float32))

@@ -73,10 +73,16 @@ def db_supervision_maps(shape, polygons, ignore=None, shrink_ratio: float = 0.4,
     polygons = [np.asarray(p, dtype=np.float64).reshape(-1, 2)
                 for p in polygons]
     flags = list(ignore) if ignore is not None else [False] * len(polygons)
+    if len(flags) != len(polygons):
+        raise ValueError(
+            f"{len(flags)} ignore flags for {len(polygons)} polygons")
 
     for poly, skip in zip(polygons, flags):
         if len(poly) < 3:
             continue
+        if (poly[:, 0].max() < 0 or poly[:, 1].max() < 0
+                or poly[:, 0].min() > w - 1 or poly[:, 1].min() > h - 1):
+            continue  # entirely off-image (page cropping/augmentation)
         area = polygon_area(poly)
         length = arc_length(poly, closed=True)
         side = min(poly[:, 0].max() - poly[:, 0].min(),
@@ -141,7 +147,12 @@ def make_db_batch(images, polygons_per_image, ignore_per_image=None, **kwargs):
     if len(polygons_per_image) != n:
         raise ValueError(
             f"{len(polygons_per_image)} polygon lists for {n} images")
-    ignores = ignore_per_image or [None] * n
+    if ignore_per_image is None:
+        ignores = [None] * n
+    else:
+        ignores = list(ignore_per_image)
+        if len(ignores) != n:
+            raise ValueError(f"{len(ignores)} ignore lists for {n} images")
     maps = [db_supervision_maps((h, w), polys, ignore=ign, **kwargs)
             for polys, ign in zip(polygons_per_image, ignores)]
     batch = {k: np.stack([m[k] for m in maps]) for k in maps[0]}

@@ -32,76 +32,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 import numpy as np
 
-
-def _rect(x0, y0, x1, y1):
-    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
-
-
-def render_line_with_chars(text, font, glyph_w, margin=2, bearing=3):
-    """u8 line crop + per-WORD lists of per-character quads (crop coords).
-
-    Words split at spaces: CRAFT affinity links adjacent characters
-    within a word only.  The render is visual RTL; quads come back in
-    list order with spatial neighbours consecutive, which is all the
-    affinity construction needs.
-    """
-    from eval_farsi import render_crop
-
-    crop = render_crop(text, font, glyph_w, margin=margin, bearing=bearing)
-    adv = glyph_w + bearing
-    h = crop.shape[0]
-    words, cur = [], []
-    for i, ch in enumerate(text):
-        if ch.isspace():
-            if cur:
-                words.append(cur)
-            cur = []
-            continue
-        col = margin + (len(text) - 1 - i) * adv
-        cur.append(_rect(col, 0, col + glyph_w, h))
-    if cur:
-        words.append(cur)
-    return crop, words
-
-
-def make_pages(n, page=320, seed=0, charset="ابتثجچحخدذرزژس", glyph_w=24):
-    """Returns (pages u8, line quads per page, char-quad structures per
-    page) — the char structures feed craft_supervision_maps."""
-    from PIL import Image
-
-    from eval_farsi import make_font, sample_texts
-
-    rng = np.random.default_rng(seed)
-    font = make_font(charset, np.random.default_rng(0), glyph_w)
-    pages, line_quads, char_structs = [], [], []
-    for _ in range(n):
-        img = np.full((page, page), 245, dtype=np.uint8)
-        lines, chars = [], []
-        y = int(rng.integers(8, 24))
-        while True:
-            lh = int(rng.integers(24, 41))
-            if y + lh > page - 8:
-                break
-            text = sample_texts(rng, charset, 1, min_len=2, max_len=7)[0]
-            crop, words = render_line_with_chars(text, font, glyph_w)
-            w = max(8, int(round(crop.shape[1] * lh / crop.shape[0])))
-            crop_r = np.asarray(
-                Image.fromarray(crop).resize((w, lh), Image.BILINEAR))
-            x = int(rng.integers(8, max(9, page - w - 8)))
-            w = min(w, page - 8 - x)
-            img[y:y + lh, x:x + w] = np.minimum(
-                img[y:y + lh, x:x + w], crop_r[:, :w])
-            sx, sy = w / crop.shape[1], lh / crop.shape[0]
-            lines.append(_rect(x, y, x + w, y + lh))
-            chars.extend(
-                [np.clip(q * [sx, sy] + [x, y], [x, y], [x + w, y + lh])
-                 for q in word]
-                for word in words)
-            y += lh + int(rng.integers(10, 28))
-        pages.append(img)
-        line_quads.append(lines)
-        char_structs.append(chars)
-    return pages, line_quads, char_structs
+from detdemo_common import make_pages, score_boxes
 
 
 def to_canvases(pages_u8):
@@ -118,30 +49,12 @@ def detection_scores(detector, pages_u8, gt_line_quads, page,
                      text_threshold=0.5, low_text=0.3, link_threshold=0.4):
     """Recall/precision of IoU>=0.5 matches through the production
     CraftDetector path (resize/normalize/forward/get_det_boxes)."""
-    from eval_pages import match_boxes
-
     rgb = np.stack([np.repeat(p[:, :, None], 3, axis=2) for p in pages_u8])
     boxes_list, _ = detector(rgb, canvas_size=page, mag_ratio=1.0,
                              text_threshold=text_threshold,
                              low_text=low_text,
                              link_threshold=link_threshold)
-    n_gt = n_pred = n_match = 0
-    ious = []
-    for pred, gt in zip(boxes_list, gt_line_quads):
-        pred = [np.asarray(b, dtype=np.float64).reshape(-1, 2) for b in pred]
-        matched, _, _ = match_boxes(pred, gt)
-        good = [v for v in matched if v >= 0.5]
-        n_gt += len(gt)
-        n_pred += len(pred)
-        n_match += len(good)
-        ious.extend(good)
-    return {
-        "recall": round(n_match / max(n_gt, 1), 4),
-        "precision": round(n_match / max(n_pred, 1), 4),
-        "matched_iou_mean": round(float(np.mean(ious)) if ious else 0.0, 4),
-        "gt_boxes": n_gt,
-        "pred_boxes": n_pred,
-    }
+    return score_boxes(boxes_list, gt_line_quads)
 
 
 def main():

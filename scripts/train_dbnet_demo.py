@@ -31,46 +31,7 @@ sys.path.insert(0, str(REPO / "scripts"))
 
 import numpy as np
 
-
-def make_pages(n, page=320, seed=0, charset="ابتثجچحخدذرزژس", glyph_w=24,
-               font=None):
-    """Render ``n`` synthetic pages; returns (pages u8 (H,W), quads lists).
-
-    Lines are blob-glyph Farsi renders (eval_farsi.make_font) scaled to
-    random heights 24-40 px and stacked with random vertical gaps — the
-    same corpus shape the recognition bench uses.
-    """
-    from PIL import Image
-
-    from eval_farsi import make_font, render_crop, sample_texts
-
-    rng = np.random.default_rng(seed)
-    font = font or make_font(charset, np.random.default_rng(0), glyph_w)
-    pages, quads_per_page = [], []
-    for _ in range(n):
-        img = np.full((page, page), 245, dtype=np.uint8)
-        quads = []
-        y = int(rng.integers(8, 24))
-        while True:
-            lh = int(rng.integers(24, 41))
-            if y + lh > page - 8:
-                break
-            text = sample_texts(rng, charset, 1, min_len=2, max_len=7)[0]
-            crop = render_crop(text, font, glyph_w, margin=2)
-            w = max(8, int(round(crop.shape[1] * lh / crop.shape[0])))
-            crop = np.asarray(
-                Image.fromarray(crop).resize((w, lh), Image.BILINEAR))
-            x = int(rng.integers(8, max(9, page - w - 8)))
-            w = min(w, page - 8 - x)
-            img[y:y + lh, x:x + w] = np.minimum(
-                img[y:y + lh, x:x + w], crop[:, :w])
-            quads.append(np.array(
-                [[x, y], [x + w, y], [x + w, y + lh], [x, y + lh]],
-                dtype=np.float64))
-            y += lh + int(rng.integers(10, 28))
-        pages.append(img)
-        quads_per_page.append(quads)
-    return pages, quads_per_page
+from detdemo_common import make_pages, score_boxes
 
 
 def to_model_input(pages_u8):
@@ -85,28 +46,10 @@ def to_model_input(pages_u8):
 def detection_scores(detector, pages_u8, gt_quads, page):
     """Recall/precision of IoU>=0.5 matches through the production
     inference path (native resolution, no canvas rescale)."""
-    from eval_pages import match_boxes
-
     bgr = [np.repeat(p[:, :, None], 3, axis=2).astype(np.float32)
            for p in pages_u8]
     batch_boxes = detector.inference(bgr, detection_size=page)
-    n_gt = n_pred = n_match = 0
-    ious = []
-    for pred, gt in zip(batch_boxes, gt_quads):
-        pred = [np.asarray(b, dtype=np.float64).reshape(-1, 2) for b in pred]
-        matched, _, _ = match_boxes(pred, gt)
-        good = [v for v in matched if v >= 0.5]
-        n_gt += len(gt)
-        n_pred += len(pred)
-        n_match += len(good)
-        ious.extend(good)
-    return {
-        "recall": round(n_match / max(n_gt, 1), 4),
-        "precision": round(n_match / max(n_pred, 1), 4),
-        "matched_iou_mean": round(float(np.mean(ious)) if ious else 0.0, 4),
-        "gt_boxes": n_gt,
-        "pred_boxes": n_pred,
-    }
+    return score_boxes(batch_boxes, gt_quads)
 
 
 def main():
@@ -144,8 +87,8 @@ def main():
                                  make_optimizer)
 
     page = args.page_size
-    pages, quads = make_pages(args.pages, page=page, seed=0)
-    heldout, heldout_quads = make_pages(args.eval_pages, page=page, seed=77)
+    pages, quads, _ = make_pages(args.pages, page=page, seed=0)
+    heldout, heldout_quads, _ = make_pages(args.eval_pages, page=page, seed=77)
     batch_full = make_db_batch(to_model_input(pages), quads)
 
     params = init_dbnet(jax.random.PRNGKey(0), backbone="resnet18")

@@ -65,6 +65,13 @@ class TestSplat:
         canvas = splat_quads((40, 40), [_rect(10, 10, 10, 30)])
         assert canvas.sum() == 0.0
 
+    def test_collinear_quad_with_nondegenerate_bbox_is_skipped(self):
+        # affinity quad of two zero-area char boxes: coincident point
+        # pairs on a diagonal — singular homography, non-empty bbox
+        quad = np.array([[10, 10], [30, 30], [30, 30], [10, 10]], np.float64)
+        canvas = splat_quads((40, 40), [quad])
+        assert canvas.sum() == 0.0
+
 
 class TestSupervisionMaps:
     def test_region_and_affinity_layout(self):

@@ -86,6 +86,23 @@ class TestIgnoreAndDegenerate:
         assert maps["gt"].sum() == 0
         assert (maps["mask"] == 1.0).all()
 
+    def test_fully_offimage_polygon_is_skipped(self):
+        off = RECT - [200, 200]
+        maps = db_supervision_maps((100, 100), [off])
+        assert maps["gt"].sum() == 0
+        assert (maps["mask"] == 1.0).all()
+
+    def test_partially_offimage_polygon_clips(self):
+        maps = db_supervision_maps((100, 100), [RECT - [30, 0]])
+        assert maps["gt"].sum() > 0
+        assert maps["gt"].shape == (100, 100)
+
+    def test_ignore_length_mismatch_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            db_supervision_maps((100, 100), [RECT, RECT + 5], ignore=[True])
+
 
 class TestOverlapAndBatch:
     def test_overlapping_polygons_take_the_max(self):
@@ -115,6 +132,17 @@ class TestOverlapAndBatch:
 
         with pytest.raises(ValueError):
             make_db_batch(np.zeros((2, 32, 32, 3), np.float32), [[]])
+
+    def test_batch_ignore_accepts_arrays_and_checks_length(self):
+        import pytest
+
+        imgs = np.zeros((2, 32, 32, 3), np.float32)
+        polys = [[quad_from_ref_box([4, 28, 4, 28])]] * 2
+        batch = make_db_batch(imgs, polys,
+                              ignore_per_image=np.array([[True], [False]]))
+        assert batch["mask"][0].min() == 0.0  # page 0's polygon ignored
+        with pytest.raises(ValueError):
+            make_db_batch(imgs, polys, ignore_per_image=[[True]])
 
 
 class TestTrainerIntegration:
