@@ -1,0 +1,419 @@
+"""Fully self-trained end-to-end OCR: facade `readtext` with ZERO torch weights.
+
+The reference cannot do this at all — it ships inference-only checkpoints
+and no trainer for either stage (SURVEY.md §3.5).  This script closes the
+loop entirely inside the framework:
+
+1. train CRAFT (production VGG16-BN U-Net, base 64) from random init on
+   synthetic pages of REAL shaped Farsi typography (PIL+libraqm DejaVu
+   Sans/Bold — contextual joining forms), with region/affinity gaussian
+   supervision built from per-character advance measurements of the shaped
+   run (``geometry.craft_maps``);
+2. load the shaped-typography gen1 recognizer trained by
+   ``eval_farsi.py --realfont --font-mix`` (``--recognizer`` pickle);
+3. inject both into the PRODUCTION ``OCR`` facade and run ``readtext``
+   on held-out pages — detection, grouping, cropping, recognition,
+   RTL display ordering, exactly the reference call stack (ocr.py:504-582);
+4. score detection (IoU-matched recall/precision) and recognition
+   (line CER over matched boxes + an aggregate end-to-end CER where a
+   missed line costs its full length).
+
+Usage:
+  python scripts/eval_selftrained.py --recognizer eval_results/shaped_gen1.pkl
+  python scripts/eval_selftrained.py --small --cpu        # smoke
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+import numpy as np
+
+from detdemo_common import score_boxes
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float64)
+
+
+def char_quads_shaped(text, renderer):
+    """Per-WORD lists of per-character quads for a shaped RTL render.
+
+    Character x-spans come from prefix advance measurements of the shaped
+    run: logical char ``i`` occupies the horizontal band between the
+    shaped widths of ``text[:i]`` and ``text[:i+1]``, measured from the
+    RIGHT edge of the run (RTL).  Contextual forms make this approximate
+    (a prefix shapes its last letter in final form), but the CRAFT
+    gaussians are soft targets — a few pixels of skew is within the
+    supervision's own blur.
+    """
+    r = renderer._pick(text) if hasattr(renderer, "_pick") else renderer
+    total = r.measure(text)
+    pw = [r.measure(text[:i]) for i in range(len(text) + 1)]
+    h, m = r.height, r.margin
+    words, cur = [], []
+    for i, ch in enumerate(text):
+        if ch.isspace():
+            if cur:
+                words.append(cur)
+            cur = []
+            continue
+        x1 = m + total - pw[i]
+        x0 = m + total - pw[i + 1]
+        if x1 - x0 >= 1.0:
+            cur.append(_rect(x0, 0, x1, h))
+    if cur:
+        words.append(cur)
+    return words
+
+
+def make_shaped_pages(n, renderer, text_charset, page=512, seed=0,
+                      min_len=2, max_len=9):
+    """Pages of shaped Farsi lines at the renderer's native height.
+
+    Returns ``(pages u8 (H, W), line quads, char structures, line records)``
+    where each line record is ``(text, [x0, y0, x1, y1])`` in page coords —
+    the recognition ground truth for the end-to-end score.
+    """
+    from eval_farsi import sample_texts
+
+    rng = np.random.default_rng(seed)
+    lh = renderer.height
+    pages, line_quads, char_structs, records = [], [], [], []
+    for _ in range(n):
+        img = np.full((page, page), 250, dtype=np.uint8)
+        lines, chars, recs = [], [], []
+        y = int(rng.integers(6, 20))
+        while y + lh <= page - 6:
+            text = sample_texts(rng, text_charset, 1,
+                                min_len=min_len, max_len=max_len)[0]
+            text = renderer.fit_text(text, page - 24)
+            if not text:
+                y += lh // 2
+                continue
+            crop = renderer.render(text)
+            h, w = crop.shape
+            x = int(rng.integers(6, max(7, page - w - 6)))
+            w = min(w, page - 6 - x)
+            img[y:y + h, x:x + w] = np.minimum(img[y:y + h, x:x + w],
+                                               crop[:, :w])
+            lines.append(_rect(x, y, x + w, y + h))
+            recs.append((text, [x, y, x + w, y + h]))
+            x_max = x + w
+            for word in char_quads_shaped(text, renderer):
+                vis = []
+                for q in word:
+                    q = q + [x, y]
+                    q_w = q[:, 0].max() - q[:, 0].min()
+                    visible = min(q[:, 0].max(), x_max) - q[:, 0].min()
+                    if q_w <= 0 or visible < 0.6 * q_w:
+                        continue
+                    q[:, 0] = np.clip(q[:, 0], x, x_max)
+                    vis.append(q)
+                if vis:
+                    chars.append(vis)
+            y += lh + int(rng.integers(10, 30))
+        pages.append(img)
+        line_quads.append(lines)
+        char_structs.append(chars)
+        records.append(recs)
+    return pages, line_quads, char_structs, records
+
+
+def to_canvases(pages_u8):
+    """Grey u8 pages -> (N, H, W, 3) CRAFT-normalised float32 canvases
+    (detectors.py:40-43 convention)."""
+    from ocrfa_tpu.preproc.host import normalize_mean_variance
+
+    return np.stack([
+        normalize_mean_variance(np.repeat(p[:, :, None], 3, axis=2))
+        for p in pages_u8]).astype(np.float32)
+
+
+def train_craft_shaped(pages, char_structs, base=64, steps=1500, batch=8,
+                       lr=1e-3, log_every=100):
+    """Train the production CRAFT net on a device-resident page corpus.
+
+    The whole supervision batch uploads ONCE; each step gathers its
+    minibatch on-device (the relay's ~45 MB/s would otherwise make every
+    step upload-bound — CLAUDE.md bandwidth notes).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ocrfa_tpu.geometry.craft_maps import make_craft_batch
+    from ocrfa_tpu.models.craft import init_craft
+    from ocrfa_tpu.train import make_craft_train_step, make_optimizer
+
+    batch_full = make_craft_batch(to_canvases(pages), char_structs)
+    dev = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_full.items()}
+    n_pages = len(pages)
+
+    params = init_craft(jax.random.PRNGKey(0), base=base)
+    opt = make_optimizer(lr)
+    state = opt.init(params)
+    step = make_craft_train_step(opt)
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    losses = []
+    for i in range(steps):
+        idx = jnp.asarray(rng.choice(n_pages, size=min(batch, n_pages),
+                                     replace=False))
+        minibatch = {k: v[idx] for k, v in dev.items()}
+        params, state, loss = step(params, state, minibatch)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append((i, float(loss)))
+            print(f"craft step {i:5d}  loss {losses[-1][1]:8.5f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return params, losses, batch_full["image"], time.time() - t0
+
+
+def build_facade(craft_params, recog_params, converter, quantize=False):
+    """The production ``OCR`` facade with self-trained weights injected.
+
+    ``detector=False, recognizer=False`` skips the checkpoint-download
+    path (api.py:169,209 — the only weight consumers); everything else of
+    the cold-start (charset resolution, language lists, kwarg surface) is
+    the stock constructor.  ``craft_params=None`` leaves the detector
+    slot empty (inject later once trained).
+    """
+    from ocrfa_tpu.api import OCR
+    from ocrfa_tpu.detector import CraftDetector
+    from ocrfa_tpu.pipeline import Recognizer
+
+    ocr = OCR(gpu=True, detector=False, recognizer=False, verbose=False,
+              quantize=quantize)
+    ocr.detect_network = "craft"
+    if craft_params is not None:
+        ocr.detector = CraftDetector(craft_params)
+    if recog_params is not None:
+        ocr.recognizer = Recognizer(recog_params, converter)
+        ocr.converter = converter
+    return ocr
+
+
+def _aabb_iou(a, b):
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    ix = max(0.0, min(ax1, bx1) - max(ax0, bx0))
+    iy = max(0.0, min(ay1, by1) - max(ay0, by0))
+    inter = ix * iy
+    if inter <= 0:
+        return 0.0
+    ua = (ax1 - ax0) * (ay1 - ay0) + (bx1 - bx0) * (by1 - by0) - inter
+    return inter / ua
+
+
+def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
+                show=0):
+    """Greedy IoU matching of readtext results to ground-truth lines.
+
+    Returns detection recall/precision over line boxes plus recognition
+    CER on matched lines and an aggregate end-to-end CER: edit distance
+    on matched pairs, full-length deletion cost for each missed
+    ground-truth line, full-length insertion cost for each spurious
+    detection's text.
+    """
+    from ocrfa_tpu.eval import levenshtein
+
+    n_gt = n_pred = n_match = 0
+    edit_sum = gt_len = ins_len = 0
+    matched_edit = matched_gt_len = 0
+    exact = 0
+    for results, records in zip(results_per_page, records_per_page):
+        preds = []
+        for box, text, _conf in results:
+            q = np.asarray(box, dtype=np.float64).reshape(-1, 2)
+            preds.append(((q[:, 0].min(), q[:, 1].min(),
+                           q[:, 0].max(), q[:, 1].max()), text))
+        n_gt += len(records)
+        n_pred += len(preds)
+        gt_len += sum(len(t) for t, _ in records)
+        used = set()
+        for text, (x0, y0, x1, y1) in records:
+            best_j, best_iou = -1, iou_threshold
+            for j, (pb, _pt) in enumerate(preds):
+                if j in used:
+                    continue
+                iou = _aabb_iou((x0, y0, x1, y1), pb)
+                if iou > best_iou:
+                    best_j, best_iou = j, iou
+            if best_j < 0:
+                edit_sum += len(text)  # missed line: full deletion cost
+                continue
+            used.add(best_j)
+            n_match += 1
+            if n_match <= show:
+                print(f"  match iou={best_iou:.2f} pred={preds[best_j][1]!r} "
+                      f"gt={text!r}", flush=True)
+            d = levenshtein(preds[best_j][1], text)
+            edit_sum += d
+            matched_edit += d
+            matched_gt_len += len(text)
+            exact += int(d == 0)
+        for j, (_pb, pt) in enumerate(preds):
+            if j not in used:
+                ins_len += len(pt)  # spurious detection: insertion cost
+    edit_sum += ins_len
+    return {
+        "detection_recall": round(n_match / max(n_gt, 1), 4),
+        "detection_precision": round(n_match / max(n_pred, 1), 4),
+        "matched_line_cer": round(matched_edit / max(matched_gt_len, 1), 6),
+        "matched_exact": round(exact / max(n_match, 1), 4),
+        "e2e_cer": round(edit_sum / max(gt_len, 1), 6),
+        "gt_lines": n_gt,
+        "pred_lines": n_pred,
+        "matched_lines": n_match,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--recognizer", type=str,
+                    default="eval_results/shaped_gen1.pkl",
+                    help="pickle from eval_farsi.py --save-params "
+                         "(--realfont --font-mix)")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--pages", type=int, default=64)
+    ap.add_argument("--eval-pages", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--page-size", type=int, default=512)
+    ap.add_argument("--base", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--text-threshold", type=float, default=0.5)
+    ap.add_argument("--low-text", type=float, default=0.3)
+    ap.add_argument("--link-threshold", type=float, default=0.4)
+    ap.add_argument("--no-font-mix", action="store_true",
+                    help="snapshot was trained single-face (no Bold mix)")
+    ap.add_argument("--small", action="store_true",
+                    help="tiny model / few steps (CPU smoke)")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--save-craft", type=str, default=None,
+                    help="pickle the trained CRAFT params here")
+    ap.add_argument("--load-craft", type=str, default=None,
+                    help="skip detector training; load a --save-craft pickle")
+    ap.add_argument("--show", type=int, default=0,
+                    help="print the first N matched (pred, gt) pairs")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    if args.small:
+        args.page_size, args.steps, args.pages = 256, 60, 6
+        args.eval_pages, args.base, args.batch = 2, 16, 2
+
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from eval_farsi import load_trained
+
+    from ocrfa_tpu.data import (FontLineRenderer, MultiFontLineRenderer,
+                                rtl_letters)
+    from ocrfa_tpu.models.craft import craft_apply
+    from ocrfa_tpu.train import calibrate_bn_stats
+
+    # ---- recognizer: the shaped-typography trained snapshot ---------------
+    recog_params, conv, _font, recog_loss, _calib, meta = load_trained(
+        args.recognizer)
+    # periodic training snapshots predate the realfont meta keys; the flag
+    # mirrors how the snapshot was trained (shaped_gen1.pkl: Sans+Bold mix)
+    font_mix = meta.get("font_mix", not args.no_font_mix)
+    renderer = FontLineRenderer(height=64)
+    if font_mix:
+        renderer = MultiFontLineRenderer(
+            [renderer, FontLineRenderer(height=64, bold=True)])
+    # the facade's language filter masks charset chars outside lang_char
+    # (recognize(): ignore_char renorm, ocr.py:366-371) — page text must
+    # come from the unmasked subset or matched lines can never be exact
+    ocr = build_facade(None, None, None)
+    text_charset = "".join(c for c in rtl_letters(meta["charset"])
+                           if renderer.covers(c) and c in ocr.lang_char)
+
+    # ---- detector: train CRAFT from random init on shaped pages -----------
+    page = args.page_size
+    pages, _lines, char_structs, _recs = make_shaped_pages(
+        args.pages, renderer, text_charset, page=page, seed=0)
+    if args.load_craft:
+        import pickle
+
+        with open(args.load_craft, "rb") as f:
+            blob = pickle.load(f)
+        craft_params, losses, train_s = blob["params"], blob["losses"], 0.0
+    else:
+        craft_params, losses, canvases, train_s = train_craft_shaped(
+            pages, char_structs, base=args.base, steps=args.steps,
+            batch=args.batch, lr=args.lr)
+        calib = [canvases[i:i + args.batch]
+                 for i in range(0, min(16, args.pages), args.batch)]
+        craft_params = calibrate_bn_stats(
+            craft_params, lambda p, b: craft_apply(p, b)[0], calib)
+        if args.save_craft:
+            import pickle
+
+            import jax
+
+            blob = {"params": jax.tree.map(np.asarray, craft_params),
+                    "losses": losses,
+                    "meta": dict(base=args.base, steps=args.steps,
+                                 page=page, pages=args.pages)}
+            with open(args.save_craft, "wb") as f:
+                pickle.dump(blob, f)
+
+    # ---- held-out pages through the production facade ---------------------
+    heldout, heldout_lines, _hc, records = make_shaped_pages(
+        args.eval_pages, renderer, text_charset, page=page, seed=1234)
+    from ocrfa_tpu.detector import CraftDetector
+    from ocrfa_tpu.pipeline import Recognizer
+
+    ocr.detector = CraftDetector(craft_params)
+    ocr.recognizer = Recognizer(recog_params, conv)
+    ocr.converter = conv
+
+    t0 = time.time()
+    results_per_page, det_boxes = [], []
+    for pg in heldout:
+        res = ocr.readtext(
+            pg, batch_size=32, canvas_size=page, mag_ratio=1.0,
+            text_threshold=args.text_threshold, low_text=args.low_text,
+            link_threshold=args.link_threshold, min_size=10)
+        results_per_page.append(res)
+        det_boxes.append([np.asarray(b, np.float64).reshape(-1, 2)
+                          for b, _t, _c in res])
+    wall = time.time() - t0
+
+    # ground truth for recognition is LOGICAL order — readtext applies
+    # get_display (visual -> logical, ocr.py:482-486) before returning
+    det = score_boxes(det_boxes, heldout_lines)
+    rec = score_pages(results_per_page, records, show=args.show)
+    metrics = {
+        "detector": f"CRAFT base {args.base}, trained {args.steps} steps "
+                    f"from random init on {args.pages} shaped pages",
+        "recognizer": (f"gen1 {meta['oc']}/{meta['hs']} shaped snapshot "
+                       f"({meta['steps']} steps, ctc {recog_loss:.4f})"),
+        "torch_weights_used": 0,
+        "page_size": page,
+        "craft_loss_first": round(losses[0][1], 5) if losses else None,
+        "craft_loss_final": round(losses[-1][1], 5) if losses else None,
+        "craft_train_seconds": round(train_s, 1),
+        "detection": det,
+        "recognition": rec,
+        "readtext_wall_s_per_page": round(wall / max(len(heldout), 1), 3),
+    }
+    print(json.dumps(metrics, indent=2, ensure_ascii=False))
+    if args.out:
+        Path(args.out).write_text(
+            json.dumps(metrics, indent=2, ensure_ascii=False))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
