@@ -72,13 +72,18 @@ def min_area_rect(points: np.ndarray):
     corners_rot = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
     corners = corners_rot @ rot  # inverse rotation (rot is orthonormal)
 
-    # enforce clockwise order in image coordinates (y down)
+    # enforce clockwise order in image coordinates (y down) — the order
+    # cv2.boxPoints yields and the 4-point warp assumes (tl, tr, br, bl
+    # after the caller's roll-to-min(x+y)).  In y-down coords a clockwise
+    # polygon has POSITIVE shoelace sum: tl(0,0) tr(1,0) br(1,1) bl(0,1)
+    # gives +2.  Reversing on the wrong sign rotates every warped crop
+    # 90 degrees downstream.
     area2 = 0.0
     for i in range(4):
         x_a, y_a = corners[i]
         x_b, y_b = corners[(i + 1) % 4]
         area2 += x_a * y_b - x_b * y_a
-    if area2 > 0:  # counter-clockwise in y-down coords -> reverse
+    if area2 < 0:  # counter-clockwise in y-down coords -> reverse
         corners = corners[::-1]
 
     w, h = maxs - mins

@@ -341,13 +341,14 @@ void min_area_rect(const double* pts_in, int n, double* out, double* out_wh) {
     corners[i][0] = c * corners_rot[i][0] - s * corners_rot[i][1];
     corners[i][1] = s * corners_rot[i][0] + c * corners_rot[i][1];
   }
-  // clockwise in y-down coords
+  // clockwise in y-down coords has POSITIVE shoelace sum (the
+  // cv2.boxPoints convention the 4-point warp assumes); reverse CCW
   double area2 = 0.0;
   for (int i = 0; i < 4; ++i) {
     area2 += corners[i][0] * corners[(i + 1) % 4][1] -
              corners[(i + 1) % 4][0] * corners[i][1];
   }
-  if (area2 > 0) {
+  if (area2 < 0) {
     std::swap(corners[0][0], corners[3][0]);
     std::swap(corners[0][1], corners[3][1]);
     std::swap(corners[1][0], corners[2][0]);

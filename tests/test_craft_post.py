@@ -40,12 +40,29 @@ class TestMinAreaRect:
     def test_clockwise_output(self):
         pts = np.array([[0, 0], [8, 1], [7, 5], [1, 4]])
         box, _ = min_area_rect(pts)
-        # shoelace in y-down coords must be negative (clockwise)
+        # clockwise in y-down coords has POSITIVE shoelace (tl tr br bl of
+        # the unit square gives +2) — the cv2.boxPoints convention the
+        # reference's roll + 4-point warp assume (utils.py:169-171)
         area2 = sum(
             box[i][0] * box[(i + 1) % 4][1] - box[(i + 1) % 4][0] * box[i][1]
             for i in range(4)
         )
-        assert area2 <= 0
+        assert area2 >= 0
+
+    def test_tilted_rect_warp_order(self):
+        # a mildly tilted rectangle must come back tl, tr, br, bl after the
+        # caller's roll-to-min(x+y): the second point sits to the RIGHT of
+        # the first (top edge), not below it — the inverted-winding bug
+        # rotated every downstream crop 90 degrees
+        theta = 0.1
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]])
+        base = np.array([[0, 0], [200, 0], [200, 60], [0, 60]], np.float64)
+        pts = base @ rot.T + 50
+        box, _ = min_area_rect(pts)
+        box = np.roll(box, 4 - box.sum(axis=1).argmin(), 0)
+        assert box[1][0] - box[0][0] > 100  # top edge runs rightward
+        assert box[3][1] - box[0][1] > 30   # last point is below the first
 
     def test_hull_of_collinear(self):
         pts = np.array([[0, 0], [1, 1], [2, 2], [3, 3]])
