@@ -117,7 +117,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                short_sampler=None, pool_sampler=None, augment=None,
                reuse=24, buffer_batches=64, ignite_batches=5,
                snapshot_path=None, snap_every=2000,
-               renderer=None, ladder_samplers=None, ema_decay=None):
+               renderer=None, ladder_samplers=None, ema_decay=None,
+               init_params=None, warm_start=False):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -293,8 +294,12 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
 
     reuse = max(reuse, 1)
     # ignition: rung-0-only steps over a tiny cycled pool (old-style warm
-    # phase; the cap matches the longest warm that was needed in practice)
-    ignite_steps = min(max(1, int(steps * 0.25)), 1500)
+    # phase; the cap matches the longest warm that was needed in practice).
+    # A warm start (fine-tune from already-locked-in params) skips it —
+    # alignment exists, so the curriculum begins at the top rung with the
+    # jittered stream from step 0.
+    ignite_steps = (0 if warm_start
+                    else min(max(1, int(steps * 0.25)), 1500))
 
     # LOSS-ADAPTIVE ladder: fraction-based schedules are seed-fragile —
     # how long CTC takes to break its all-blank plateau on fresh data
@@ -305,7 +310,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     # the new rung before the next climb.  The producer thread just reads
     # the current rung; 15% of batches stay rung-0 anchors (blank
     # collapse is punished instantly on 1-3 char lines).
-    cur = {"rung": 0}
+    cur = {"rung": len(rungs) - 1 if warm_start else 0}
 
     def rung_for(mix_rng):
         if mix_rng.random() < 0.15:
@@ -324,8 +329,9 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
         prng = np.random.default_rng(seed + 1)
         b = 0
         while not stop.is_set():
-            # the fill batches are all rung-0 (they seed ignition)
-            ri = 0 if b < fill else rung_for(prng)
+            # the fill batches are all rung-0 (they seed ignition); a warm
+            # start has no ignition, so the fill streams the top rung too
+            ri = 0 if (b < fill and not warm_start) else rung_for(prng)
             texts = rungs[ri](prng, batch)
             # ignition batches render CLEAN: memorizing them is the
             # mechanism that snaps CTC alignment (jitter from step 0 was
@@ -333,7 +339,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
             # entropy floor).  The post-ignition stream is jittered so
             # image-hash recall can't survive past ignition.  Each rung
             # renders on its own canvas width bucket.
-            im, lb, ln = render_batch(texts, prng, jitter=(b >= fill),
+            im, lb, ln = render_batch(texts, prng,
+                                      jitter=(warm_start or b >= fill),
                                       canvas_w=rung_width[ri])
             calib_recent.append((im.copy(), lb.copy(), ln.copy()))
             item = (jax.device_put(jnp.asarray(im)),
@@ -350,8 +357,12 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes,
-                            output_channel=oc, hidden_size=hs)
+    if init_params is not None:
+        params = jax.tree.map(jnp.asarray, init_params)
+    else:
+        params = init_crnn_gen1(jax.random.PRNGKey(0),
+                                num_class=conv.num_classes,
+                                output_channel=oc, hidden_size=hs)
     # full LR through ignition/ladder (lock-in needs it), then a cosine
     # tail over the last 30%: re-fitting each fresh buffer batch (the
     # memorization channel) needs large steps, while the glyph-grounded

@@ -126,6 +126,49 @@ def make_shaped_pages(n, renderer, text_charset, page=512, seed=0,
     return pages, line_quads, char_structs, records
 
 
+def det_crop_augment(crop, r):
+    """Simulate the detection->crop pipeline on a clean rendered line.
+
+    A trained detector's box is never the exact render rect: it carries
+    margins (the region-map threshold + add_margin), a few degrees of
+    tilt (minAreaRect of a soft blob), and the 4-point warp +
+    height-normalise resampling (``get_image_list``).  A recognizer
+    trained only on native 64px renders loses ~10x CER through that
+    transform; fine-tuning THROUGH the production crop functions
+    (four_point_transform + compute_ratio_and_resize, the exact
+    deployment code path) closes the domain gap.
+
+    30% of crops pass through clean as anchors.
+    """
+    from ocrfa_tpu.geometry.transform import four_point_transform
+    from ocrfa_tpu.preproc.host import compute_ratio_and_resize
+
+    if r.random() < 0.3:
+        return crop
+    h, w = crop.shape
+    pt, pb = int(r.integers(0, 9)), int(r.integers(0, 9))
+    pl, pr = int(r.integers(0, 13)), int(r.integers(0, 13))
+    ang = float(r.uniform(-0.1, 0.1))
+    ch, cw = h + pt + pb, w + pl + pr
+    border = int(np.ceil(abs(ang) * np.hypot(ch, cw) / 2)) + 2
+    canvas = np.full((ch + 2 * border, cw + 2 * border), 250, np.uint8)
+    canvas[border + pt:border + pt + h, border + pl:border + pl + w] = crop
+    quad = np.array([[0, 0], [cw - 1, 0], [cw - 1, ch - 1], [0, ch - 1]],
+                    np.float64)
+    ctr = quad.mean(axis=0)
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.array([[c, -s], [s, c]])
+    quad = (quad - ctr) @ rot.T + ctr + border
+    warped = four_point_transform(canvas, quad)
+    if warped.shape[1] <= warped.shape[0]:
+        # near-square/vertical crops route through the rotated vertical-
+        # text branch of compute_ratio_and_resize — not this domain
+        return crop
+    out, _ = compute_ratio_and_resize(
+        warped, warped.shape[1], warped.shape[0], h)
+    return np.asarray(out, np.uint8)
+
+
 def to_canvases(pages_u8):
     """Grey u8 pages -> (N, H, W, 3) CRAFT-normalised float32 canvases
     (detectors.py:40-43 convention)."""
@@ -298,6 +341,12 @@ def main():
                     help="pickle the trained CRAFT params here")
     ap.add_argument("--load-craft", type=str, default=None,
                     help="skip detector training; load a --save-craft pickle")
+    ap.add_argument("--finetune-steps", type=int, default=0,
+                    help="fine-tune the recognizer for N steps through the "
+                         "production crop transform (det_crop_augment) and "
+                         "report a second recognition arm")
+    ap.add_argument("--save-recognizer-ft", type=str, default=None)
+    ap.add_argument("--load-recognizer-ft", type=str, default=None)
     ap.add_argument("--show", type=int, default=0,
                     help="print the first N matched (pred, gt) pairs")
     ap.add_argument("--out", type=str, default=None)
@@ -368,6 +417,36 @@ def main():
             with open(args.save_craft, "wb") as f:
                 pickle.dump(blob, f)
 
+    # ---- recognizer fine-tune THROUGH the production crop transform -------
+    ft = None
+    if args.load_recognizer_ft:
+        import pickle
+
+        with open(args.load_recognizer_ft, "rb") as f:
+            ft = pickle.load(f)["params"]
+    elif args.finetune_steps:
+        from eval_farsi import sample_texts, train_gen1
+
+        def mk(lo, hi):
+            return lambda r, n: sample_texts(r, text_charset, n,
+                                             min_len=lo, max_len=hi)
+
+        ft, _c2, _f2, ft_loss, _cb = train_gen1(
+            meta["charset"], steps=args.finetune_steps, batch=64,
+            oc=meta["oc"], hs=meta["hs"], lr=2e-4,
+            renderer=renderer, short_sampler=mk(1, 3), ladder_samplers=[],
+            pool_sampler=mk(2, 9), augment=det_crop_augment,
+            init_params=recog_params, warm_start=True,
+            buffer_batches=24, reuse=12)
+        print(f"fine-tune final ctc loss {float(ft_loss):.4f}", flush=True)
+        if args.save_recognizer_ft:
+            import pickle
+
+            import jax
+
+            with open(args.save_recognizer_ft, "wb") as f:
+                pickle.dump({"params": jax.tree.map(np.asarray, ft)}, f)
+
     # ---- held-out pages through the production facade ---------------------
     heldout, heldout_lines, _hc, records = make_shaped_pages(
         args.eval_pages, renderer, text_charset, page=page, seed=1234)
@@ -375,25 +454,31 @@ def main():
     from ocrfa_tpu.pipeline import Recognizer
 
     ocr.detector = CraftDetector(craft_params)
-    ocr.recognizer = Recognizer(recog_params, conv)
     ocr.converter = conv
 
-    t0 = time.time()
-    results_per_page, det_boxes = [], []
-    for pg in heldout:
-        res = ocr.readtext(
-            pg, batch_size=32, canvas_size=page, mag_ratio=1.0,
-            text_threshold=args.text_threshold, low_text=args.low_text,
-            link_threshold=args.link_threshold, min_size=10)
-        results_per_page.append(res)
-        det_boxes.append([np.asarray(b, np.float64).reshape(-1, 2)
-                          for b, _t, _c in res])
-    wall = time.time() - t0
+    def run_eval(rp, show=0):
+        ocr.recognizer = Recognizer(rp, conv)
+        t0 = time.time()
+        results_per_page, det_boxes = [], []
+        for pg in heldout:
+            res = ocr.readtext(
+                pg, batch_size=32, canvas_size=page, mag_ratio=1.0,
+                text_threshold=args.text_threshold, low_text=args.low_text,
+                link_threshold=args.link_threshold, min_size=10)
+            results_per_page.append(res)
+            det_boxes.append([np.asarray(b, np.float64).reshape(-1, 2)
+                              for b, _t, _c in res])
+        wall = time.time() - t0
+        # ground truth for recognition is LOGICAL order — readtext applies
+        # get_display (visual -> logical, ocr.py:482-486) before returning
+        det = score_boxes(det_boxes, heldout_lines)
+        rec = score_pages(results_per_page, records, show=show)
+        return det, rec, wall
 
-    # ground truth for recognition is LOGICAL order — readtext applies
-    # get_display (visual -> logical, ocr.py:482-486) before returning
-    det = score_boxes(det_boxes, heldout_lines)
-    rec = score_pages(results_per_page, records, show=args.show)
+    det, rec, wall = run_eval(recog_params, show=args.show)
+    rec_ft = None
+    if ft is not None:
+        _det2, rec_ft, _w2 = run_eval(ft, show=args.show)
     metrics = {
         "detector": f"CRAFT base {args.base}, trained {args.steps} steps "
                     f"from random init on {args.pages} shaped pages",
@@ -408,6 +493,9 @@ def main():
         "recognition": rec,
         "readtext_wall_s_per_page": round(wall / max(len(heldout), 1), 3),
     }
+    if rec_ft is not None:
+        metrics["recognition_finetuned"] = rec_ft
+        metrics["finetune_steps"] = args.finetune_steps
     print(json.dumps(metrics, indent=2, ensure_ascii=False))
     if args.out:
         Path(args.out).write_text(
