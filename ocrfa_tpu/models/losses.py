@@ -48,7 +48,12 @@ def leaky_dice_loss(pred, gt, mask, coverage_scale: float = 5.0, eps: float = EP
     return loss, {"coverage": coverage, "excede": excede}
 
 
-def _bce(pred, gt, eps: float = 1e-12):
+def _bce(pred, gt, eps: float = 1e-6):
+    # eps must survive float32: 1.0 - 1e-12 rounds to exactly 1.0f, so a
+    # saturated sigmoid (reached by ~step 200 of DBNet training) made
+    # log(1-pred) = -inf and inf * <zero positive mask> = NaN.  1e-6 is
+    # representable (log -> -13.8) and matches torch's BCE clamp intent
+    # (F.binary_cross_entropy clamps the log at -100).
     pred = jnp.clip(pred, eps, 1.0 - eps)
     return -(gt * jnp.log(pred) + (1.0 - gt) * jnp.log(1.0 - pred))
 

@@ -217,6 +217,44 @@ def train_craft_shaped(pages, char_structs, base=64, steps=1500, batch=8,
     return params, losses, batch_full["image"], time.time() - t0
 
 
+def train_dbnet_shaped(pages, line_quads, steps=1500, batch=8, lr=1e-3,
+                       log_every=100):
+    """Train dbnet18 (deformable ResNet18 + SegDetector) on a
+    device-resident shaped-page corpus, mirroring ``train_craft_shaped``."""
+    import jax
+    import jax.numpy as jnp
+
+    from ocrfa_tpu.detector_db import BGR_MEAN
+    from ocrfa_tpu.geometry.db_maps import make_db_batch
+    from ocrfa_tpu.models.dbnet import init_dbnet
+    from ocrfa_tpu.train import make_dbnet_train_step, make_optimizer
+
+    stack = np.stack([np.repeat(p[:, :, None], 3, axis=2) for p in pages])
+    canvases = ((stack.astype(np.float32) - BGR_MEAN) / 255.0
+                ).astype(np.float32)
+    batch_full = make_db_batch(canvases, line_quads)
+    dev = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_full.items()}
+    n_pages = len(pages)
+
+    params = init_dbnet(jax.random.PRNGKey(0), backbone="resnet18")
+    opt = make_optimizer(lr)
+    state = opt.init(params)
+    step = make_dbnet_train_step(opt)
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    losses = []
+    for i in range(steps):
+        idx = jnp.asarray(rng.choice(n_pages, size=min(batch, n_pages),
+                                     replace=False))
+        minibatch = {k: v[idx] for k, v in dev.items()}
+        params, state, loss, _m = step(params, state, minibatch)
+        if i % log_every == 0 or i == steps - 1:
+            losses.append((i, float(loss)))
+            print(f"dbnet step {i:5d}  loss {losses[-1][1]:8.5f}  "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return params, losses, batch_full["image"], time.time() - t0
+
+
 def build_facade(craft_params, recog_params, converter, quantize=False):
     """The production ``OCR`` facade with self-trained weights injected.
 
@@ -322,6 +360,8 @@ def main():
                     default="eval_results/shaped_gen1.pkl",
                     help="pickle from eval_farsi.py --save-params "
                          "(--realfont --font-mix)")
+    ap.add_argument("--detector", choices=["craft", "dbnet"],
+                    default="craft")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--pages", type=int, default=64)
     ap.add_argument("--eval-pages", type=int, default=16)
@@ -387,33 +427,43 @@ def main():
     text_charset = "".join(c for c in rtl_letters(meta["charset"])
                            if renderer.covers(c) and c in ocr.lang_char)
 
-    # ---- detector: train CRAFT from random init on shaped pages -----------
+    # ---- detector: train from random init on shaped pages -----------------
     page = args.page_size
-    pages, _lines, char_structs, _recs = make_shaped_pages(
+    pages, det_lines, char_structs, _recs = make_shaped_pages(
         args.pages, renderer, text_charset, page=page, seed=0)
     if args.load_craft:
         import pickle
 
         with open(args.load_craft, "rb") as f:
             blob = pickle.load(f)
-        craft_params, losses, train_s = blob["params"], blob["losses"], 0.0
+        det_params, losses, train_s = blob["params"], blob["losses"], 0.0
     else:
-        craft_params, losses, canvases, train_s = train_craft_shaped(
-            pages, char_structs, base=args.base, steps=args.steps,
-            batch=args.batch, lr=args.lr)
+        if args.detector == "craft":
+            det_params, losses, canvases, train_s = train_craft_shaped(
+                pages, char_structs, base=args.base, steps=args.steps,
+                batch=args.batch, lr=args.lr)
+            apply_fn = lambda p, b: craft_apply(p, b)[0]  # noqa: E731
+        else:
+            from ocrfa_tpu.models.dbnet import dbnet_apply
+
+            det_params, losses, canvases, train_s = train_dbnet_shaped(
+                pages, det_lines, steps=args.steps, batch=args.batch,
+                lr=args.lr)
+            apply_fn = lambda p, b: dbnet_apply(  # noqa: E731
+                p, b, backbone="resnet18")
         calib = [canvases[i:i + args.batch]
                  for i in range(0, min(16, args.pages), args.batch)]
-        craft_params = calibrate_bn_stats(
-            craft_params, lambda p, b: craft_apply(p, b)[0], calib)
+        det_params = calibrate_bn_stats(det_params, apply_fn, calib)
         if args.save_craft:
             import pickle
 
             import jax
 
-            blob = {"params": jax.tree.map(np.asarray, craft_params),
+            blob = {"params": jax.tree.map(np.asarray, det_params),
                     "losses": losses,
-                    "meta": dict(base=args.base, steps=args.steps,
-                                 page=page, pages=args.pages)}
+                    "meta": dict(detector=args.detector, base=args.base,
+                                 steps=args.steps, page=page,
+                                 pages=args.pages)}
             with open(args.save_craft, "wb") as f:
                 pickle.dump(blob, f)
 
@@ -450,10 +500,17 @@ def main():
     # ---- held-out pages through the production facade ---------------------
     heldout, heldout_lines, _hc, records = make_shaped_pages(
         args.eval_pages, renderer, text_charset, page=page, seed=1234)
-    from ocrfa_tpu.detector import CraftDetector
     from ocrfa_tpu.pipeline import Recognizer
 
-    ocr.detector = CraftDetector(craft_params)
+    if args.detector == "craft":
+        from ocrfa_tpu.detector import CraftDetector
+
+        ocr.detector = CraftDetector(det_params)
+    else:
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        ocr.detect_network = "dbnet18"
+        ocr.detector = DBNetDetector(det_params)
     ocr.converter = conv
 
     def run_eval(rp, show=0):
@@ -479,8 +536,10 @@ def main():
     rec_ft = None
     if ft is not None:
         _det2, rec_ft, _w2 = run_eval(ft, show=args.show)
+    det_name = ("CRAFT base {}".format(args.base) if args.detector == "craft"
+                else "dbnet18 (deformable resnet18 + SegDetector)")
     metrics = {
-        "detector": f"CRAFT base {args.base}, trained {args.steps} steps "
+        "detector": f"{det_name}, trained {args.steps} steps "
                     f"from random init on {args.pages} shaped pages",
         "recognizer": (f"gen1 {meta['oc']}/{meta['hs']} shaped snapshot "
                        f"({meta['steps']} steps, ctc {recog_loss:.4f})"),

@@ -79,6 +79,21 @@ class TestLossParity:
         ours, _ = losses.l1_balance_ce_loss(pred, batch)
         assert np.isclose(float(ours), float(ref_loss), rtol=1e-4)
 
+    def test_bce_finite_at_saturated_sigmoid(self):
+        """A binary head that saturates to exactly 1.0f (which real DBNet
+        training reaches by ~step 200) must yield a finite loss: with a
+        sub-f32 eps, log(1-1.0) = -inf and inf * zero-mask = NaN."""
+        rng = np.random.default_rng(0)
+        pred, batch = _batch(rng)
+        pred["binary"][:] = np.float32(1.0)
+        batch["gt"][:] = 0.0  # every saturated pixel is a negative
+        loss = losses.balance_bce_loss(pred["binary"], batch["gt"],
+                                       batch["mask"])
+        assert np.isfinite(float(loss))
+        total, metrics = losses.l1_balance_ce_loss(pred, batch)
+        assert np.isfinite(float(total))
+        assert np.isfinite(float(metrics["bce_loss"]))
+
     def test_build_loss_registry(self):
         assert losses.build_loss("L1BalanceCELoss") is losses.l1_balance_ce_loss
         with pytest.raises(ValueError):
