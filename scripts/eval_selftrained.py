@@ -217,10 +217,47 @@ def train_craft_shaped(pages, char_structs, base=64, steps=1500, batch=8,
     return params, losses, batch_full["image"], time.time() - t0
 
 
+def expand_quads_for_db(line_quads, shrink_ratio=0.4, unclip_ratio=1.5,
+                        iters=6):
+    """Pre-expand GT rects so the production DB postprocess returns them.
+
+    DB's shrink(r=0.4) -> unclip(1.5) roundtrip is NOT identity for wide
+    text lines: a 64x250 line comes back ~50 px tall, and the clipped
+    top/bottom bands are exactly where Arabic dots live (measured: dot-
+    level confusions dominated the dbnet arm's CER).  The reference
+    inference surface fixes both constants (DBNet.py:326-333), so the
+    training-side fix is to supervise boxes pre-expanded by e solving
+    ``roundtrip(h + 2e) = h`` (isotropic distances -> one scalar per box,
+    fixed-point in a few iterations).
+    """
+    out = []
+    for quads in line_quads:
+        exp = []
+        for q in quads:
+            q = np.asarray(q, np.float64)
+            w = q[:, 0].max() - q[:, 0].min()
+            h = q[:, 1].max() - q[:, 1].min()
+            e = 0.0
+            for _ in range(iters):
+                we, he = w + 2 * e, h + 2 * e
+                ds = we * he * (1 - shrink_ratio ** 2) / (2 * (we + he))
+                w1, h1 = max(we - 2 * ds, 1.0), max(he - 2 * ds, 1.0)
+                du = w1 * h1 * unclip_ratio / (2 * (w1 + h1))
+                e += (h - (he - 2 * ds + 2 * du)) / 2
+                e = max(e, 0.0)
+            c = q.mean(axis=0)
+            exp.append((q - c) * [(w + 2 * e) / w, (h + 2 * e) / h] + c)
+        out.append(exp)
+    return out
+
+
 def train_dbnet_shaped(pages, line_quads, steps=1500, batch=8, lr=1e-3,
                        log_every=100):
     """Train dbnet18 (deformable ResNet18 + SegDetector) on a
-    device-resident shaped-page corpus, mirroring ``train_craft_shaped``."""
+    device-resident shaped-page corpus, mirroring ``train_craft_shaped``.
+
+    Supervision quads are pre-expanded (``expand_quads_for_db``) so the
+    fixed-constant inference postprocess recovers full line extents."""
     import jax
     import jax.numpy as jnp
 
@@ -232,7 +269,7 @@ def train_dbnet_shaped(pages, line_quads, steps=1500, batch=8, lr=1e-3,
     stack = np.stack([np.repeat(p[:, :, None], 3, axis=2) for p in pages])
     canvases = ((stack.astype(np.float32) - BGR_MEAN) / 255.0
                 ).astype(np.float32)
-    batch_full = make_db_batch(canvases, line_quads)
+    batch_full = make_db_batch(canvases, expand_quads_for_db(line_quads))
     dev = {k: jax.device_put(jnp.asarray(v)) for k, v in batch_full.items()}
     n_pages = len(pages)
 
