@@ -102,6 +102,26 @@ class TestShapedPages:
                 assert (page_img[y0:y1, x0:x1] < 128).any()
 
 
+class TestDbRoundtripExpansion:
+    def test_roundtrip_identity(self):
+        from eval_selftrained import _rect, expand_quads_for_db
+
+        for w, h in [(250, 64), (120, 40), (400, 64)]:
+            out = expand_quads_for_db([[_rect(10, 20, 10 + w, 20 + h)]]
+                                      )[0][0]
+            we = out[:, 0].max() - out[:, 0].min()
+            he = out[:, 1].max() - out[:, 1].min()
+            r, k = 0.4, 1.5
+            ds = we * he * (1 - r * r) / (2 * (we + he))
+            w1, h1 = we - 2 * ds, he - 2 * ds
+            du = w1 * h1 * k / (2 * (w1 + h1))
+            assert abs((he - 2 * ds + 2 * du) - h) < 0.5
+            assert abs((we - 2 * ds + 2 * du) - w) < 0.5
+            # expansion is centered
+            np.testing.assert_allclose(out.mean(axis=0),
+                                       [10 + w / 2, 20 + h / 2])
+
+
 class TestWarmStart:
     def test_train_gen1_warm_start_resumes(self):
         import jax
