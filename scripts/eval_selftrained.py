@@ -422,6 +422,10 @@ def main():
                     help="fine-tune the recognizer for N steps through the "
                          "production crop transform (det_crop_augment) and "
                          "report a second recognition arm")
+    ap.add_argument("--finetune-from", type=str, default=None,
+                    help="warm-start the fine-tune from a previous "
+                         "--save-recognizer-ft pickle instead of the "
+                         "--recognizer snapshot")
     ap.add_argument("--save-recognizer-ft", type=str, default=None)
     ap.add_argument("--load-recognizer-ft", type=str, default=None)
     ap.add_argument("--show", type=int, default=0,
@@ -518,12 +522,18 @@ def main():
             return lambda r, n: sample_texts(r, text_charset, n,
                                              min_len=lo, max_len=hi)
 
+        start = recog_params
+        if args.finetune_from:
+            import pickle
+
+            with open(args.finetune_from, "rb") as f:
+                start = pickle.load(f)["params"]
         ft, _c2, _f2, ft_loss, _cb = train_gen1(
             meta["charset"], steps=args.finetune_steps, batch=64,
             oc=meta["oc"], hs=meta["hs"], lr=2e-4,
             renderer=renderer, short_sampler=mk(1, 3), ladder_samplers=[],
             pool_sampler=mk(2, 9), augment=det_crop_augment,
-            init_params=recog_params, warm_start=True,
+            init_params=start, warm_start=True,
             buffer_batches=24, reuse=12)
         print(f"fine-tune final ctc loss {float(ft_loss):.4f}", flush=True)
         if args.save_recognizer_ft:
