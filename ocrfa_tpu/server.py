@@ -269,8 +269,12 @@ class OCRServer:
             self._thread.join(timeout=5.0)
 
 
-def main():  # pragma: no cover - manual entry point
-    import argparse
+def build_pipeline_from_args(args):
+    """Shared by the HTTP and gRPC entry points: a ``ServingPipeline`` from
+    CLI flags.  Trained weights come from the pickle blobs the training
+    scripts emit (``--recognizer-pickle``/``--detector-pickle``); without
+    them the models are random-init (zoo downloads need egress)."""
+    import pickle
 
     import jax
 
@@ -281,22 +285,66 @@ def main():  # pragma: no cover - manual entry point
     from ocrfa_tpu.registry import RECOGNITION_MODELS
     from ocrfa_tpu.serving import ServingPipeline
 
-    ap = argparse.ArgumentParser()
+    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+    rec_params = None
+    if getattr(args, "recognizer_pickle", None):
+        with open(args.recognizer_pickle, "rb") as f:
+            blob = pickle.load(f)
+        rec_params = blob["params"]
+        chars = blob.get("meta", {}).get("charset", chars)
+    conv = CTCLabelConverter(chars)
+    if rec_params is None:
+        rec_params = init_crnn_gen1(jax.random.PRNGKey(0),
+                                    num_class=conv.num_classes)
+    recognizer = Recognizer(rec_params, conv)
+
+    det_params, det_kind = None, "craft"
+    if getattr(args, "detector_pickle", None):
+        with open(args.detector_pickle, "rb") as f:
+            blob = pickle.load(f)
+        det_params = blob["params"]
+        det_kind = blob.get("meta", {}).get("detector", "craft")
+    if det_params is None:
+        det_params = init_craft(jax.random.PRNGKey(1))
+    return ServingPipeline(
+        det_params, recognizer, canvas_size=args.canvas_size,
+        detector_family="dbnet" if det_kind == "dbnet18" else "craft")
+
+
+def add_serving_args(ap, port):
     ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--port", type=int, default=port)
     ap.add_argument("--canvas-size", type=int, default=1280)
     ap.add_argument("--depth", type=int, default=2)
-    args = ap.parse_args()
+    ap.add_argument("--recognizer-pickle", default=None,
+                    help="trained blob from scripts/eval_farsi.py --save-params")
+    ap.add_argument("--detector-pickle", default=None,
+                    help="trained blob from scripts/eval_selftrained.py --save-craft")
+    ap.add_argument("--api-keys", default=None,
+                    help="comma-separated accepted bearer keys (enables auth)")
+    ap.add_argument("--rate", type=float, default=None,
+                    help="per-caller requests/sec token-bucket limit")
 
-    # random-init models (zoo downloads need egress); swap via checkpoints.*
-    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
-    conv = CTCLabelConverter(chars)
-    recognizer = Recognizer(
-        init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes), conv)
-    pipeline = ServingPipeline(init_craft(jax.random.PRNGKey(1)), recognizer,
-                               canvas_size=args.canvas_size)
+
+def auth_from_args(args):
+    if args.api_keys is None and args.rate is None:
+        return None
+    from ocrfa_tpu.utils.ratelimit import AuthPolicy
+
+    keys = args.api_keys.split(",") if args.api_keys else None
+    return AuthPolicy(api_keys=keys, rate=args.rate)
+
+
+def main(argv=None):  # pragma: no cover - manual entry point
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="ocrfa-tpu serve")
+    add_serving_args(ap, port=8080)
+    args = ap.parse_args(argv)
+
+    pipeline = build_pipeline_from_args(args)
     server = OCRServer(pipeline, host=args.host, port=args.port,
-                       depth=args.depth)
+                       depth=args.depth, auth=auth_from_args(args))
     print(f"serving on http://{args.host}:{server.port}")
     server.serve_forever()
 

@@ -197,33 +197,19 @@ class OCRClient:
         self.channel.close()
 
 
-def main():  # pragma: no cover - manual entry point
+def main(argv=None):  # pragma: no cover - manual entry point
     import argparse
 
-    import jax
+    from ocrfa_tpu.server import (add_serving_args, auth_from_args,
+                                  build_pipeline_from_args)
 
-    from ocrfa_tpu.decode import CTCLabelConverter
-    from ocrfa_tpu.models.craft import init_craft
-    from ocrfa_tpu.models.crnn import init_crnn_gen1
-    from ocrfa_tpu.pipeline import Recognizer
-    from ocrfa_tpu.registry import RECOGNITION_MODELS
-    from ocrfa_tpu.serving import ServingPipeline
+    ap = argparse.ArgumentParser(prog="ocrfa-tpu serve-grpc")
+    add_serving_args(ap, port=50051)
+    args = ap.parse_args(argv)
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=50051)
-    ap.add_argument("--canvas-size", type=int, default=1280)
-    ap.add_argument("--depth", type=int, default=2)
-    args = ap.parse_args()
-
-    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
-    conv = CTCLabelConverter(chars)
-    recognizer = Recognizer(
-        init_crnn_gen1(jax.random.PRNGKey(0), num_class=conv.num_classes), conv)
-    pipeline = ServingPipeline(init_craft(jax.random.PRNGKey(1)), recognizer,
-                               canvas_size=args.canvas_size)
+    pipeline = build_pipeline_from_args(args)
     server = OCRGrpcServer(pipeline, host=args.host, port=args.port,
-                           depth=args.depth)
+                           depth=args.depth, auth=auth_from_args(args))
     print(f"serving on {args.host}:{server.port} (gRPC)")
     server.wait()
 
