@@ -34,9 +34,11 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_LINES_PER_SEC = 5000.0
 
+import os
+
 N_LINES = 4096          # corpus size per measurement window
-CHUNK = 512             # device batch per dispatch
-DEPTH = 8               # in-flight dispatches
+CHUNK = int(os.environ.get("BENCH_CHUNK", "512"))   # device batch/dispatch
+DEPTH = int(os.environ.get("BENCH_DEPTH", "8"))     # in-flight dispatches
 WINDOWS = 5
 CONV_GFLOP_PER_LINE_W256 = 50.8  # bf16-equivalent tower FLOPs at bucket 256
 
@@ -175,7 +177,7 @@ def main():
                 out = recognizer._apply_ribbon(
                     recognizer.params, flat_dev, meta_dev, keep_dev,
                     out_w=out_w, wire="u8")
-            np.asarray(out[1])
+            np.asarray(out[:1])  # sync on a slice of the packed payload
             best = max(best, CHUNK * reps / (time.perf_counter() - t0))
         per_bucket[out_w] = best
     compute_only = per_bucket.get(256) or max(per_bucket.values())

@@ -53,6 +53,44 @@ def postprocess_logits(logits, keep_mask, return_probs: bool = False):
     return indices, values
 
 
+def compact_indices(indices, num_classes: int):
+    """Narrow argmax class ids to the smallest holding dtype before they
+    leave the device.  The ``(N, T)`` index array is the dominant return
+    payload of the fused decode programs, and the host->device link's
+    download direction is the slow one (measured ~3-20 MB/s through the
+    relay): int32 -> uint8 cuts that wire 4x.  Lossless: argmax over C
+    classes is always < C."""
+    if num_classes <= 255:
+        return indices.astype(jnp.uint8)
+    if num_classes <= 32767:
+        return indices.astype(jnp.int16)
+    return indices
+
+
+def pack_decode_payload(indices_compact, confs):
+    """Fuse (indices, confidences) into ONE device array.
+
+    Materialising a device output is a full host round trip through the
+    relay (~26 ms RTT regardless of size — measured: a scalar and a 129 KB
+    array cost the same); fetching indices and confidences separately
+    doubles that.  The f32 confidences are bitcast to the index dtype and
+    prepended as extra columns, so a chunk's entire decode result downloads
+    as one array.  Inverse: :func:`unpack_decode_payload`.
+    """
+    confs = confs.astype(jnp.float32)
+    dt = indices_compact.dtype
+    conf_cols = jax.lax.bitcast_convert_type(confs, dt)
+    conf_cols = conf_cols.reshape(confs.shape[0], -1)
+    return jnp.concatenate([conf_cols, indices_compact], axis=1)
+
+
+def unpack_decode_payload(payload: np.ndarray):
+    """Host-side inverse of :func:`pack_decode_payload` -> (indices, confs)."""
+    k = 4 // payload.dtype.itemsize
+    confs = np.ascontiguousarray(payload[:, :k]).view(np.float32).ravel()
+    return payload[:, k:], confs
+
+
 def decode_greedy_batch(indices: np.ndarray, characters, ignore_idx=(0,)) -> list:
     """Vectorised greedy collapse over an equal-length (N, T) batch.
 

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ocrfa_tpu.decode.device import (
+    compact_indices,
     ctc_confidences,
+    pack_decode_payload,
+    unpack_decode_payload,
     decode_greedy_batch,
     greedy_confidences,
     keep_mask_for,
@@ -106,10 +109,13 @@ class Recognizer:
                 x = (x.astype(jnp.float32) / 255.0 - 0.5) / 0.5
             return x.astype(self.compute_dtype)
 
+        nc = converter.num_classes
+
         def _fused(params, x, keep_mask):
             logits = model_fn(params, _norm(x)).astype(jnp.float32)
             indices, values = postprocess_logits(logits, keep_mask)
-            return indices, ctc_confidences(indices, values)
+            return pack_decode_payload(compact_indices(indices, nc),
+                                       ctc_confidences(indices, values))
 
         self._apply_greedy = jax.jit(_fused)
 
@@ -120,7 +126,8 @@ class Recognizer:
             logits = model_fn(params, crops.astype(self.compute_dtype))
             indices, values = postprocess_logits(logits.astype(jnp.float32),
                                                  keep_mask)
-            return indices, ctc_confidences(indices, values)
+            return pack_decode_payload(compact_indices(indices, nc),
+                                       ctc_confidences(indices, values))
 
         self._apply_ribbon = jax.jit(_fused_ribbon,
                                      static_argnames=("out_w", "wire"))
@@ -168,7 +175,8 @@ class Recognizer:
     def predict_async(self, batch: np.ndarray, keep_mask: np.ndarray):
         """Dispatch the fused greedy pass without blocking.
 
-        Returns ``(indices_dev, confs_dev, n)`` — device arrays the caller
+        Returns ``(payload_dev, n)`` — one packed device array (indices +
+        bitcast confidences, see ``pack_decode_payload``) the caller
         materialises later.  Lets multiple buckets/chunks be in flight so
         host decode and PCIe/ICI latency overlap device compute.
         """
@@ -182,8 +190,8 @@ class Recognizer:
             from ocrfa_tpu.parallel.mesh import shard_batch
 
             x = shard_batch(x, self.mesh)
-        indices, confs = self._apply_greedy(self.params, x, jnp.asarray(keep_mask))
-        return indices, confs, n
+        payload = self._apply_greedy(self.params, x, jnp.asarray(keep_mask))
+        return payload, n
 
     def predict_ribbon_async(self, crops, keep_mask, out_w: int,
                              img_h: int = 64, wire: str = "u8"):
@@ -206,21 +214,23 @@ class Recognizer:
 
             flat = replicate(flat, self.mesh)
             meta_dev = shard_batch(meta, self.mesh)
-        indices, confs = self._apply_ribbon(
+        payload = self._apply_ribbon(
             self.params, flat, meta_dev, jnp.asarray(keep_mask),
             out_w=int(out_w), wire=wire,
         )
-        return indices, confs, n
+        return payload, n
 
     def collect(self, handle):
-        """Materialise a ``predict_async`` handle into [[text, conf], ...]."""
-        indices, confs, n = handle
-        indices = np.asarray(indices)[:n]
-        confidences = np.asarray(confs)[:n].tolist()
+        """Materialise a ``predict_async`` handle into [[text, conf], ...].
+
+        One ``np.asarray`` — one relay round trip — per handle; indices and
+        confidences travel packed (``pack_decode_payload``)."""
+        payload, n = handle
+        indices, confs = unpack_decode_payload(np.asarray(payload)[:n])
         texts = decode_greedy_batch(
             indices, self.converter.character, self.converter.ignore_idx
         )
-        return [[t, c] for t, c in zip(texts, confidences)]
+        return [[t, c] for t, c in zip(texts, confs.tolist())]
 
     def set_decode_defaults(self, **kwargs):
         """Set fusion defaults for :meth:`predict`: ``lexicon``,

@@ -91,11 +91,14 @@ class DevicePagePipeline:
     """
 
     def __init__(self, recognizer, use_pallas: bool = False):
-        from ocrfa_tpu.decode.device import ctc_confidences, postprocess_logits
+        from ocrfa_tpu.decode.device import (compact_indices, ctc_confidences,
+                                             pack_decode_payload,
+                                             postprocess_logits)
         from ocrfa_tpu.models.crnn import crnn_apply
 
         self.recognizer = recognizer
         self.use_pallas = use_pallas
+        nc = recognizer.converter.num_classes
 
         def _fused(params, page_u8, boxes, keep_mask, *, out_w):
             if use_pallas:
@@ -107,7 +110,8 @@ class DevicePagePipeline:
             crops = crops.astype(recognizer.compute_dtype)
             logits = crnn_apply(params, crops, variant=recognizer.variant)
             indices, values = postprocess_logits(logits.astype(jnp.float32), keep_mask)
-            return indices, ctc_confidences(indices, values)
+            return pack_decode_payload(compact_indices(indices, nc),
+                                       ctc_confidences(indices, values))
 
         self._fused = jax.jit(_fused, static_argnames=("out_w",))
 
@@ -142,12 +146,13 @@ class DevicePagePipeline:
         if nb != n:
             boxes = np.concatenate([boxes, np.repeat(boxes[-1:], nb - n, axis=0)])
 
-        indices, confs = self._fused(
+        payload = self._fused(
             self.recognizer.params, page_dev, jnp.asarray(boxes),
             jnp.asarray(keep_mask), out_w=out_w,
         )
-        indices = np.asarray(indices)[:n]
-        confs = np.asarray(confs)[:n].tolist()
+        from ocrfa_tpu.decode.device import unpack_decode_payload
+
+        indices, confs = unpack_decode_payload(np.asarray(payload)[:n])
         conv = self.recognizer.converter
         texts = decode_greedy_batch(indices, conv.character, conv.ignore_idx)
-        return [[t, c] for t, c in zip(texts, confs)]
+        return [[t, c] for t, c in zip(texts, confs.tolist())]

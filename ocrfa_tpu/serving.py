@@ -40,11 +40,14 @@ def _packbits(mask):
 
 
 def _seed_detection(heatmaps, text_threshold, low_text, link_threshold):
-    """Device epilogue: the three threshold masks, bit-packed.
+    """Device epilogue: the three threshold masks, bit-packed and stacked.
 
     Exactly the masks :func:`get_det_boxes_from_masks` consumes — the f32
     comparisons happen on-device, so the host component loop is bit-exact
     with the parity path while the download shrinks ~21x vs f32 heatmaps.
+    Returns ONE ``(3, ..., W/8)`` uint8 array (comb, link_only, text_over
+    along axis 0): each materialisation is a full relay round trip
+    (~26 ms regardless of size), so the three planes travel together.
     """
     text = heatmaps[..., 0]
     link = heatmaps[..., 1]
@@ -53,7 +56,8 @@ def _seed_detection(heatmaps, text_threshold, low_text, link_threshold):
     comb = text_mask | link_mask
     link_only = link_mask & ~text_mask
     text_over = text >= text_threshold
-    return _packbits(comb), _packbits(link_only), _packbits(text_over)
+    return jnp.stack(
+        [_packbits(comb), _packbits(link_only), _packbits(text_over)])
 
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32) * 255.0
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32) * 255.0
@@ -176,9 +180,11 @@ class ServingPipeline:
         bgr_mean = jnp.asarray(np.asarray(BGR_MEAN, np.float32))
 
         def seeds(prob):
+            # one payload per page (single download round trip): packed
+            # binarized mask (W/8 cols) + u8-quantized prob map (W cols)
             mask = prob > self.db_threshold
             q = jnp.round(prob * 255.0).astype(jnp.uint8)
-            return _packbits(mask), q
+            return jnp.concatenate([_packbits(mask), q], axis=-1)
 
         def _detect(params, page_u8, *, canvas_hw):
             page = page_u8.astype(jnp.float32)
@@ -253,34 +259,35 @@ class ServingPipeline:
             x = shard_batch(x, self.mesh)
         if self.family == "dbnet":
             canvas_hw = self._canvas_hw_db(h, w)
-            mask_p, hmap_q = self._detect_batch(self.det_params, x,
-                                                canvas_hw=canvas_hw)
-            return [(x[i], (mask_p[i], hmap_q[i]), (h, w))
-                    for i in range(len(pages))]
+            seeds = self._detect_batch(self.det_params, x,
+                                       canvas_hw=canvas_hw)
+            return [(x[i], seeds[i], (h, w)) for i in range(len(pages))]
         target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
-        comb, link_only, text_over = self._detect_batch(
+        seeds = self._detect_batch(
             self.det_params, x, target_hw=target_hw, canvas_hw=canvas_hw)
         # pages stay device-resident; recognition slices reuse them
-        return [(x[i], (comb[i], link_only[i], text_over[i]), ratio)
-                for i in range(len(pages))]
+        return [(x[i], seeds[:, i], ratio) for i in range(len(pages))]
 
     def detect_boxes(self, handle):
         """Detection seeds -> page-space quad boxes (pre-grouping)."""
         if self.family == "dbnet":
             from ocrfa_tpu.detector_db import DBNetDetector
 
-            _page_dev, (mask_p, hmap_q), (h, w) = handle
-            mask = np.unpackbits(np.asarray(mask_p), axis=-1).astype(bool)
-            hmap = np.asarray(hmap_q).astype(np.float32) / 255.0
+            _page_dev, payload, (h, w) = handle
+            payload = np.asarray(payload)  # one round trip
+            cw = payload.shape[-1] * 8 // 9  # packed W/8 cols + u8 W cols
+            mask = np.unpackbits(payload[:, :cw // 8], axis=-1).astype(bool)
+            hmap = payload[:, cw // 8:].astype(np.float32) / 255.0
             boxes, scores = DBNetDetector.boxes_from_bitmap(
                 hmap, mask, w, h, bbox_min_score=self.db_bbox_min_score,
                 bbox_min_size=self.db_bbox_min_size)
             return [np.asarray(b, np.float64) for b, s in zip(boxes, scores)
                     if s > 0]
-        _page_dev, (comb_p, link_p, over_p), ratio = handle
-        comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
-        link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
-        text_over = np.unpackbits(np.asarray(over_p), axis=-1).astype(bool)
+        _page_dev, seeds, ratio = handle
+        comb_p, link_p, over_p = np.asarray(seeds)  # one round trip
+        comb = np.unpackbits(comb_p, axis=-1).astype(bool)
+        link_only = np.unpackbits(link_p, axis=-1).astype(bool)
+        text_over = np.unpackbits(over_p, axis=-1).astype(bool)
         boxes, _, _ = get_det_boxes_from_masks(comb, link_only, text_over)
         inv = 1.0 / ratio
         return adjust_result_coordinates(boxes, inv, inv)

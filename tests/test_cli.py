@@ -92,6 +92,33 @@ class TestRead:
         reader = cli.build_reader(_read_ns(toy_blobs))
         assert reader.converter.character[1:] == list(toy_blobs["charset"])
 
+    def test_read_nonempty_results(self, toy_blobs, page_png, tmp_path,
+                                   monkeypatch):
+        """With a detector that actually fires, results flow through the
+        crop -> recognize -> JSON path (random weights detect nothing, so
+        the other read tests only cover the empty-page shape)."""
+        import ocrfa_tpu.detector
+
+        from helpers import OracleCraftDetector
+
+        monkeypatch.setattr(ocrfa_tpu.detector, "CraftDetector",
+                            lambda params: OracleCraftDetector())
+        out = tmp_path / "out.jsonl"
+        rc = cli.main([
+            "read", page_png,
+            "--recognizer-pickle", toy_blobs["recognizer"],
+            "--detector-pickle", toy_blobs["detector"],
+            "--cpu", "--no-download",
+            "--canvas-size", "128", "--min-size", "5",
+            "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text(encoding="utf8").splitlines()[0])
+        assert len(rec["results"]) >= 1
+        box, text, conf = rec["results"][0]
+        assert len(box) == 4 and isinstance(text, str)
+        assert isinstance(conf, (int, float))
+
 
 def _read_ns(toy_blobs):
     """An argparse namespace matching the read subcommand defaults."""

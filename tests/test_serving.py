@@ -109,12 +109,12 @@ class TestDetectionSeeding:
 
         ref_boxes, _, _ = get_det_boxes(text, link, 0.7, 0.4, 0.4)
 
-        comb_p, link_p, over_p = _seed_detection(
+        comb_p, link_p, over_p = np.asarray(_seed_detection(
             jnp.stack([jnp.asarray(text), jnp.asarray(link)], axis=-1),
-            0.7, 0.4, 0.4)
-        comb = np.unpackbits(np.asarray(comb_p), axis=-1).astype(bool)
-        link_only = np.unpackbits(np.asarray(link_p), axis=-1).astype(bool)
-        text_over = np.unpackbits(np.asarray(over_p), axis=-1).astype(bool)
+            0.7, 0.4, 0.4))
+        comb = np.unpackbits(comb_p, axis=-1).astype(bool)
+        link_only = np.unpackbits(link_p, axis=-1).astype(bool)
+        text_over = np.unpackbits(over_p, axis=-1).astype(bool)
         got_boxes, _, _ = get_det_boxes_from_masks(comb, link_only, text_over)
 
         assert len(got_boxes) == len(ref_boxes)
@@ -181,9 +181,11 @@ class TestDBNetServing:
     def test_seed_mask_matches_quantized_hmap(self, pipe):
         page = np.random.default_rng(3).integers(
             0, 255, (64, 64), dtype=np.uint8)
-        _page_dev, (mask_p, hmap_q), _ = pipe.submit_page(page)
-        mask = np.unpackbits(np.asarray(mask_p), axis=-1).astype(bool)
-        hmap = np.asarray(hmap_q).astype(np.float32) / 255.0
+        _page_dev, payload, _ = pipe.submit_page(page)
+        payload = np.asarray(payload)
+        cw = payload.shape[-1] * 8 // 9  # packed W/8 cols + u8 W cols
+        mask = np.unpackbits(payload[:, :cw // 8], axis=-1).astype(bool)
+        hmap = payload[:, cw // 8:].astype(np.float32) / 255.0
         # mask came from the f32 prob; outside the quantization step of the
         # threshold the u8 map must agree with it
         margin = np.abs(hmap - pipe.db_threshold) > 1.0 / 255.0
