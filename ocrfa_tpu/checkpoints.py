@@ -551,3 +551,74 @@ def load_pytree(path: str, like=None):
     like = jax.tree.map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), like)
     return ckptr.restore(path, like)
+
+
+# ---------------------------------------------------------------------------
+# Trained-blob pickles (the artifacts scripts/eval_farsi.py --save-params and
+# scripts/eval_selftrained.py --save-craft emit).  ONE loader owns the blob
+# schema — the CLI, the serving front-ends and the eval scripts all inject
+# weights through these, so the meta conventions cannot fork per call site.
+# ---------------------------------------------------------------------------
+
+#: accepted ``meta["detector"]`` spellings -> canonical detect_network name
+DETECTOR_KIND_ALIASES = {
+    "craft": "craft",
+    "dbnet": "dbnet18",    # eval_selftrained --detector takes craft|dbnet
+    "dbnet18": "dbnet18",
+}
+
+
+def _load_blob(path: str) -> dict:
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if "params" not in blob:
+        raise ValueError(f"{path}: not a trained blob (no 'params' key)")
+    return blob
+
+
+def load_detector_blob(path: str, default_kind: str = "craft"):
+    """Load a trained-detector pickle -> ``(kind, params, meta)``.
+
+    ``kind`` is normalised to a canonical detect_network name ("craft" or
+    "dbnet18") via :data:`DETECTOR_KIND_ALIASES`; ``default_kind`` applies
+    when the blob predates the ``meta["detector"]`` key.
+    """
+    blob = _load_blob(path)
+    meta = blob.get("meta", {})
+    raw = meta.get("detector", default_kind)
+    kind = DETECTOR_KIND_ALIASES.get(raw)
+    if kind is None:
+        raise ValueError(
+            f"{path}: unknown detector kind {raw!r} "
+            f"(accepted: {sorted(DETECTOR_KIND_ALIASES)})")
+    return kind, blob["params"], meta
+
+
+def build_detector_from_blob(path: str, default_kind: str = "craft"):
+    """Detector-pickle -> ``(kind, detector_instance, meta)``."""
+    kind, params, meta = load_detector_blob(path, default_kind)
+    if kind == "dbnet18":
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        return kind, DBNetDetector(params), meta
+    from ocrfa_tpu.detector import CraftDetector
+
+    return kind, CraftDetector(params), meta
+
+
+def load_recognizer_blob(path: str, default_charset: str | None = None):
+    """Load a trained-recognizer pickle -> ``(params, charset, meta)``.
+
+    ``charset`` comes from ``meta["charset"]``; bare fine-tune blobs (no
+    meta) fall back to ``default_charset`` (callers pass the production
+    arabic_g1 set).
+    """
+    blob = _load_blob(path)
+    meta = blob.get("meta", {})
+    charset = meta.get("charset", default_charset)
+    if charset is None:
+        raise ValueError(
+            f"{path}: blob has no meta.charset and no default given")
+    return blob["params"], charset, meta

@@ -40,6 +40,17 @@ def build_reader(args):
     """
     from ocrfa_tpu.api import OCR
 
+    if args.cpu:
+        # OCR(gpu=False) only records the device string; on this host the
+        # axon plugin force-registers the TPU regardless of env vars, so
+        # actually pin the platform (same move as tests/conftest.py).
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     inject_det = bool(args.detector_pickle)
     inject_rec = bool(args.recognizer_pickle)
     ocr = OCR(
@@ -55,30 +66,28 @@ def build_reader(args):
         verbose=args.verbose,
     )
     if inject_det:
-        blob = _load_pickle(args.detector_pickle)
-        kind = blob.get("meta", {}).get("detector", args.detect_network)
-        if kind == "dbnet18":
-            from ocrfa_tpu.detector_db import DBNetDetector
+        from ocrfa_tpu.checkpoints import build_detector_from_blob
 
-            ocr.detect_network = "dbnet18"
-            ocr.detector = DBNetDetector(blob["params"])
-        else:
-            from ocrfa_tpu.detector import CraftDetector
-
-            ocr.detect_network = "craft"
-            ocr.detector = CraftDetector(blob["params"])
+        kind, detector, _meta = build_detector_from_blob(
+            args.detector_pickle, default_kind=args.detect_network)
+        ocr.detect_network = kind
+        ocr.detector = detector
     if inject_rec:
+        from ocrfa_tpu.checkpoints import load_recognizer_blob
         from ocrfa_tpu.decode import CTCLabelConverter
         from ocrfa_tpu.pipeline import Recognizer
         from ocrfa_tpu.registry import RECOGNITION_MODELS
 
-        blob = _load_pickle(args.recognizer_pickle)
-        charset = blob.get("meta", {}).get("charset")
-        if charset is None:  # bare fine-tune blob: production charset
-            charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+        params, charset, _meta = load_recognizer_blob(
+            args.recognizer_pickle,
+            default_charset=RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"])
         converter = CTCLabelConverter(charset)
-        ocr.recognizer = Recognizer(blob["params"], converter)
+        ocr.recognizer = Recognizer(params, converter)
         ocr.converter = converter
+        # recognize() builds allowlist/ignore masks from these; leaving the
+        # zoo charset here would map indices into the wrong class space
+        ocr.character = charset
+        ocr.lang_char = "".join(charset)
     return ocr
 
 

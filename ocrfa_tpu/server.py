@@ -274,10 +274,9 @@ def build_pipeline_from_args(args):
     CLI flags.  Trained weights come from the pickle blobs the training
     scripts emit (``--recognizer-pickle``/``--detector-pickle``); without
     them the models are random-init (zoo downloads need egress)."""
-    import pickle
-
     import jax
 
+    from ocrfa_tpu.checkpoints import load_detector_blob, load_recognizer_blob
     from ocrfa_tpu.decode import CTCLabelConverter
     from ocrfa_tpu.models.craft import init_craft
     from ocrfa_tpu.models.crnn import init_crnn_gen1
@@ -288,10 +287,8 @@ def build_pipeline_from_args(args):
     chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
     rec_params = None
     if getattr(args, "recognizer_pickle", None):
-        with open(args.recognizer_pickle, "rb") as f:
-            blob = pickle.load(f)
-        rec_params = blob["params"]
-        chars = blob.get("meta", {}).get("charset", chars)
+        rec_params, chars, _meta = load_recognizer_blob(
+            args.recognizer_pickle, default_charset=chars)
     conv = CTCLabelConverter(chars)
     if rec_params is None:
         rec_params = init_crnn_gen1(jax.random.PRNGKey(0),
@@ -300,10 +297,7 @@ def build_pipeline_from_args(args):
 
     det_params, det_kind = None, "craft"
     if getattr(args, "detector_pickle", None):
-        with open(args.detector_pickle, "rb") as f:
-            blob = pickle.load(f)
-        det_params = blob["params"]
-        det_kind = blob.get("meta", {}).get("detector", "craft")
+        det_kind, det_params, _meta = load_detector_blob(args.detector_pickle)
     if det_params is None:
         det_params = init_craft(jax.random.PRNGKey(1))
     return ServingPipeline(

@@ -475,9 +475,21 @@ def main():
     if args.load_craft:
         import pickle
 
+        from ocrfa_tpu.checkpoints import DETECTOR_KIND_ALIASES
+
         with open(args.load_craft, "rb") as f:
             blob = pickle.load(f)
-        det_params, losses, train_s = blob["params"], blob["losses"], 0.0
+        det_params = blob["params"]
+        losses, train_s = blob.get("losses", []), 0.0
+        blob_meta = blob.get("meta", {})
+        # the blob's recorded kind wins over the --detector default: loading
+        # a dbnet blob without re-passing --detector dbnet must not push
+        # DBNet params through the CRAFT apply
+        kind = DETECTOR_KIND_ALIASES.get(
+            blob_meta.get("detector", args.detector), "craft")
+        args.detector = "dbnet" if kind == "dbnet18" else "craft"
+        args.base = blob_meta.get("base", args.base)
+        args.steps = blob_meta.get("steps", args.steps)
     else:
         if args.detector == "craft":
             det_params, losses, canvases, train_s = train_craft_shaped(

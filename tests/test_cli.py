@@ -37,8 +37,18 @@ def toy_blobs(tmp_path_factory):
         pickle.dump({"params": jax.tree.map(np.asarray,
                                             init_craft(jax.random.PRNGKey(1))),
                      "losses": [], "meta": {"detector": "craft"}}, f)
+
+    from ocrfa_tpu.models.dbnet import init_dbnet
+
+    det_db = d / "dbnet.pkl"
+    with open(det_db, "wb") as f:
+        # meta detector="dbnet" — the exact spelling eval_selftrained's
+        # --save-craft writes (its --detector choices are craft|dbnet)
+        pickle.dump({"params": jax.tree.map(
+                         np.asarray, init_dbnet(jax.random.PRNGKey(2))),
+                     "losses": [], "meta": {"detector": "dbnet"}}, f)
     return {"recognizer": str(rec), "detector": str(det),
-            "charset": charset}
+            "detector_dbnet": str(det_db), "charset": charset}
 
 
 @pytest.fixture(scope="module")
@@ -91,6 +101,25 @@ class TestRead:
     def test_charset_from_meta(self, toy_blobs):
         reader = cli.build_reader(_read_ns(toy_blobs))
         assert reader.converter.character[1:] == list(toy_blobs["charset"])
+
+    def test_injected_charset_governs_masks(self, toy_blobs):
+        """recognize() builds allowlist/ignore masks from ocr.character /
+        ocr.lang_char; injection must swap those to the blob charset or
+        indices land in the wrong class space."""
+        reader = cli.build_reader(_read_ns(toy_blobs))
+        assert list(reader.character) == list(toy_blobs["charset"])
+        assert set(reader.lang_char) == set(toy_blobs["charset"])
+
+    def test_dbnet_blob_injects_dbnet_detector(self, toy_blobs):
+        """A blob whose meta says detector="dbnet" (eval_selftrained's
+        spelling) must come back as a DBNetDetector, not CRAFT."""
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        ns = _read_ns(toy_blobs)
+        ns.detector_pickle = toy_blobs["detector_dbnet"]
+        reader = cli.build_reader(ns)
+        assert reader.detect_network == "dbnet18"
+        assert isinstance(reader.detector, DBNetDetector)
 
     def test_read_nonempty_results(self, toy_blobs, page_png, tmp_path,
                                    monkeypatch):
@@ -169,6 +198,29 @@ class TestServingBuilder:
         # converter picked up the blob charset, not the zoo default
         n_chars = len(toy_blobs["charset"])
         assert pipeline.recognizer.converter.num_classes == n_chars + 1
+
+    def test_dbnet_blob_serves_dbnet_family(self, toy_blobs):
+        import argparse
+
+        from ocrfa_tpu.server import add_serving_args, build_pipeline_from_args
+
+        ap = argparse.ArgumentParser()
+        add_serving_args(ap, port=0)
+        args = ap.parse_args([
+            "--recognizer-pickle", toy_blobs["recognizer"],
+            "--detector-pickle", toy_blobs["detector_dbnet"],
+            "--canvas-size", "256",
+        ])
+        assert build_pipeline_from_args(args).family == "dbnet"
+
+    def test_unknown_detector_kind_rejected(self, toy_blobs, tmp_path):
+        from ocrfa_tpu.checkpoints import load_detector_blob
+
+        bad = tmp_path / "bad.pkl"
+        with open(bad, "wb") as f:
+            pickle.dump({"params": {}, "meta": {"detector": "yolo"}}, f)
+        with pytest.raises(ValueError, match="yolo"):
+            load_detector_blob(str(bad))
 
     def test_auth_from_args(self):
         import argparse
