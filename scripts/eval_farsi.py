@@ -615,6 +615,11 @@ def main():
     ap.add_argument("--load-params", type=str, default=None,
                     help="skip training; load params pickled by a previous "
                          "--save-params run (charset/oc/hs must match)")
+    ap.add_argument("--continue-from", type=str, default=None,
+                    help="warm-start from a --save-params blob and train "
+                         "--steps MORE at the top ladder rung (model config "
+                         "and renderer mode come from the blob meta; pass a "
+                         "tail LR like --lr 2e-4)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -646,6 +651,24 @@ def main():
         args.steps = meta["steps"]
         args.realfont = bool(meta.get("realfont", args.realfont))
         args.font_mix = bool(meta.get("font_mix", args.font_mix))
+    init_params, prev_steps = None, 0
+    if args.continue_from:
+        init_params, _c0, _f0, _l0, _cal0, cmeta = load_trained(
+            args.continue_from)
+        charset, oc, hs, glyph_w = (cmeta["charset"], cmeta["oc"],
+                                    cmeta["hs"], cmeta["glyph_w"])
+        prev_steps = int(cmeta.get("steps", 0))
+        args.realfont = bool(cmeta.get("realfont", args.realfont))
+        args.font_mix = bool(cmeta.get("font_mix", args.font_mix))
+        if "realfont" not in cmeta and not args.realfont:
+            # snapshots predating the realfont meta keys can't say which
+            # renderer trained them; continuing a shaped-typography model
+            # on glyph stamps silently resets it (observed: step-0 loss
+            # 270 instead of 0.4) — make the ambiguity loud
+            print("WARNING: blob meta has no 'realfont' key and --realfont "
+                  "not passed; continuing with the glyph-stamp renderer. "
+                  "If this snapshot was trained on shaped typography, "
+                  "re-run with --realfont [--font-mix].", flush=True)
     renderer, text_charset = None, charset
     if args.realfont:
         from ocrfa_tpu.data import (FontLineRenderer, MultiFontLineRenderer,
@@ -672,11 +695,14 @@ def main():
             batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr,
             snapshot_path=(args.save_params + ".snap"
                            if args.save_params else None),
-            ema_decay=(args.ema or None), **extra)
+            ema_decay=(args.ema or None),
+            init_params=init_params, warm_start=init_params is not None,
+            **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
-                          steps=args.steps, realfont=bool(args.realfont),
+                          steps=prev_steps + args.steps,
+                          realfont=bool(args.realfont),
                           font_mix=bool(args.font_mix)))
     rng = np.random.default_rng(99)  # separate stream from training
 
