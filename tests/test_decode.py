@@ -224,3 +224,55 @@ class TestKeepMask:
         # ignored characters (1-based) still mask
         mask = keep_mask_for(4, [0, 2])
         assert mask.tolist() == [1.0, 1.0, 0.0, 1.0]
+
+
+class TestPackedDecodePayload:
+    """pack_decode_payload / unpack_decode_payload: (indices, confs) must
+    roundtrip exactly through the single-array wire format for every
+    compact dtype (u8 / i16 / i32 class-id narrowing)."""
+
+    @pytest.mark.parametrize("num_classes", [185, 300, 40000])
+    def test_roundtrip(self, num_classes):
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.decode.device import (compact_indices,
+                                             pack_decode_payload,
+                                             unpack_decode_payload)
+
+        rng = np.random.default_rng(0)
+        n, t = 7, 23
+        indices = rng.integers(0, num_classes, (n, t)).astype(np.int32)
+        confs = rng.random(n).astype(np.float32)
+        confs[0] = 0.0  # exact endpoints must survive the bitcast
+        confs[1] = 1.0
+
+        compact = compact_indices(jnp.asarray(indices), num_classes)
+        expected_dtype = (np.uint8 if num_classes <= 255 else
+                          np.int16 if num_classes <= 32767 else np.int32)
+        assert np.asarray(compact).dtype == expected_dtype
+
+        payload = np.asarray(
+            pack_decode_payload(compact, jnp.asarray(confs)))
+        assert payload.dtype == expected_dtype
+        out_idx, out_confs = unpack_decode_payload(payload)
+        np.testing.assert_array_equal(np.asarray(out_idx, np.int64),
+                                      indices.astype(np.int64))
+        np.testing.assert_array_equal(out_confs, confs)  # bit-exact
+
+    def test_row_slicing_before_unpack(self):
+        """collect() slices the payload to the live row count BEFORE
+        unpacking (padding rows carry garbage); the slice must stay
+        consistent."""
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.decode.device import (compact_indices,
+                                             pack_decode_payload,
+                                             unpack_decode_payload)
+
+        indices = np.arange(12, dtype=np.int32).reshape(4, 3) % 5
+        confs = np.linspace(0.1, 0.9, 4).astype(np.float32)
+        payload = np.asarray(pack_decode_payload(
+            compact_indices(jnp.asarray(indices), 5), jnp.asarray(confs)))
+        out_idx, out_confs = unpack_decode_payload(payload[:2])
+        np.testing.assert_array_equal(out_idx, indices[:2].astype(np.uint8))
+        np.testing.assert_array_equal(out_confs, confs[:2])
