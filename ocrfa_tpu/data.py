@@ -13,6 +13,9 @@ This module provides one:
   Farsi typography (PIL + libraqm HarfBuzz shaping: contextual letterforms,
   cursive joining, ligatures), single face or a deterministic per-line font
   mix; `rtl_letters` picks the charset subset that renders safely RTL.
+* :class:`ShapedFarsiLines` — the two combined: shaped-typography batches
+  with the ``SyntheticFarsiLines`` yield contract, so the CTC and TrOCR
+  trainers consume synthetic or shaped sources interchangeably.
 * :class:`Prefetcher` — a background-thread iterator that keeps N batches
   ready so the 1-core host's rendering overlaps device steps.
 """
@@ -230,6 +233,82 @@ class MultiFontLineRenderer:
 
     def render(self, text: str) -> np.ndarray:
         return self._pick(text).render(text)
+
+
+class ShapedFarsiLines:
+    """:class:`SyntheticFarsiLines`-compatible batches rendered with REAL
+    shaped typography (:class:`FontLineRenderer`): contextual Arabic
+    letterforms, cursive joining, optional per-line Sans/Bold mix.
+
+    Same yield contract — ``(images (N,H,W,1) float32 in [-1,1], labels
+    (N,L) int32 in VISUAL order, lengths (N,), texts logical)`` — so the
+    CTC and TrOCR trainers consume either source unchanged.  Text is
+    sampled from the charset's renderable RTL-letter subset with
+    interior-only spaces (word-gap structure; see
+    ``eval_farsi.sample_texts`` for why the white runs are load-bearing),
+    and labels index the FULL charset so trained heads stay compatible
+    with the production converter.
+    """
+
+    def __init__(self, charset: str, batch_size: int = 32, width: int = 256,
+                 height: int = 64, min_len: int = 2, max_len: int = 9,
+                 seed: int = 0, font_mix: bool = True, jitter: bool = True):
+        renderer = FontLineRenderer(height=height)
+        if font_mix:
+            renderer = MultiFontLineRenderer(
+                [renderer, FontLineRenderer(height=height, bold=True)])
+        self.renderer = renderer
+        self.charset = charset
+        self.text_charset = "".join(
+            c for c in rtl_letters(charset)
+            if not c.isspace() and renderer.covers(c))
+        if not self.text_charset:
+            raise ValueError("charset has no renderable RTL letters")
+        self.batch_size = batch_size
+        self.width = width
+        self.height = height
+        self.min_len = min_len
+        self.max_len = max_len
+        self.jitter = jitter
+        self._rng = np.random.default_rng(seed)
+        self.char_to_id = {c: i + 1 for i, c in enumerate(charset)}
+
+    def _sample_text(self, r) -> str:
+        length = int(r.integers(self.min_len, self.max_len + 1))
+        chars = list(r.choice(list(self.text_charset), size=length))
+        if length >= 4 and " " in self.charset and r.random() < 0.7:
+            chars[int(r.integers(1, length - 1))] = " "  # interior word gap
+        return "".join(chars)
+
+    def batch(self):
+        n, r = self.batch_size, self._rng
+        images = np.full((n, self.height, self.width, 1), 255, np.uint8)
+        labels = np.zeros((n, self.max_len), np.int32)
+        lengths = np.zeros((n,), np.int32)
+        texts = []
+        for i in range(n):
+            t = self.renderer.fit_text(self._sample_text(r), self.width - 12)
+            crop = self.renderer.render(t).astype(np.float32)
+            if self.jitter:
+                # contrast + noise + x-shift: break image-hash memorization
+                crop = 127.5 + (crop - 127.5) * (0.55 + 0.45 * r.random())
+                crop += r.normal(0.0, 10.0, crop.shape)
+                pad = int(r.integers(0, 10))
+                crop = np.concatenate(
+                    [np.full((crop.shape[0], pad), 255.0), crop], axis=1)
+                crop = np.clip(crop, 0, 255)
+            crop = crop[:, :self.width]
+            images[i, :, :crop.shape[1], 0] = crop.astype(np.uint8)
+            ids = [self.char_to_id[c] for c in t[::-1]]  # visual order
+            labels[i, :len(ids)] = ids
+            lengths[i] = len(ids)
+            texts.append(t)
+        norm = ((images.astype(np.float32) / 255.0) - 0.5) / 0.5
+        return norm, labels, lengths, texts
+
+    def __iter__(self):
+        while True:
+            yield self.batch()
 
 
 def rtl_letters(charset: str) -> str:

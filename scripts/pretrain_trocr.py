@@ -42,6 +42,13 @@ def main(argv=None):
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--small", action="store_true",
                     help="tiny model + charset (CPU smoke)")
+    ap.add_argument("--realfont", action="store_true",
+                    help="train/eval on shaped Farsi typography "
+                         "(data.ShapedFarsiLines) instead of glyph stamps")
+    ap.add_argument("--font-mix", action="store_true",
+                    help="with --realfont: per-line DejaVu Sans/Bold mix")
+    ap.add_argument("--max-len", type=int, default=9,
+                    help="with --realfont: max label length")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon overrides JAX_PLATFORMS)")
     ap.add_argument("--ckpt-dir", type=str, default=None)
@@ -83,13 +90,26 @@ def main(argv=None):
         d_model, layers, heads = args.d_model, args.layers, 8
     num_class = len(charset) + 1  # CTC-style count (blank + chars)
 
-    data = SyntheticFarsiLines(charset, batch_size=args.batch,
-                               width=args.width, seed=0)
-    # held-out TEXT stream, same font as training (a different seed alone
-    # would also change the glyphs and test an unseen alphabet)
-    eval_data = SyntheticFarsiLines(charset, batch_size=args.eval_lines,
-                                    width=args.width, seed=10_000,
-                                    font=data.font)
+    if args.realfont:
+        from ocrfa_tpu.data import ShapedFarsiLines
+
+        data = ShapedFarsiLines(charset, batch_size=args.batch,
+                                width=args.width, max_len=args.max_len,
+                                seed=0, font_mix=args.font_mix)
+        # held-out TEXT stream; clean renders (the serving input
+        # distribution), same fonts by construction
+        eval_data = ShapedFarsiLines(charset, batch_size=args.eval_lines,
+                                     width=args.width, max_len=args.max_len,
+                                     seed=10_000, font_mix=args.font_mix,
+                                     jitter=False)
+    else:
+        data = SyntheticFarsiLines(charset, batch_size=args.batch,
+                                   width=args.width, seed=0)
+        # held-out TEXT stream, same font as training (a different seed
+        # alone would also change the glyphs and test an unseen alphabet)
+        eval_data = SyntheticFarsiLines(charset, batch_size=args.eval_lines,
+                                        width=args.width, seed=10_000,
+                                        font=data.font)
     max_label = data.max_len
 
     params = init_trocr(jax.random.PRNGKey(0), num_class=num_class,
@@ -151,7 +171,8 @@ def main(argv=None):
             print(f"eval @ {step + 1}: CER {e:.4f}", flush=True)
 
     metrics = {
-        "model": f"trocr d{d_model} x{layers}L, {len(charset)}-char charset",
+        "model": (f"trocr d{d_model} x{layers}L, {len(charset)}-char charset"
+                  + (" (shaped typography)" if args.realfont else "")),
         "steps": args.steps,
         "final_loss": round(float(loss), 4),
         "history": history,

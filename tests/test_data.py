@@ -138,3 +138,47 @@ class TestMultiFontLineRenderer:
         # both fonts are actually reachable across different first letters
         picks = {id(mix._pick(c)) for c in "ابجدهوزحطيكلمنسعفص"}
         assert len(picks) == 2
+
+
+class TestShapedFarsiLines:
+    def test_batch_contract_matches_synthetic(self):
+        """Same yield contract as SyntheticFarsiLines: normalized f32
+        images, visual-order labels that index the FULL charset exactly
+        like CTCLabelConverter.dict (duplicates: last occurrence wins)."""
+        import pytest
+
+        from ocrfa_tpu.data import ShapedFarsiLines
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.registry import RECOGNITION_MODELS
+
+        chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+        try:
+            ds = ShapedFarsiLines(chars, batch_size=6, width=256, seed=3)
+        except RuntimeError as e:
+            pytest.skip(str(e))
+        conv = CTCLabelConverter(chars)
+        images, labels, lengths, texts = ds.batch()
+        assert images.shape == (6, 64, 256, 1)
+        assert images.dtype == np.float32
+        assert images.min() >= -1.0 and images.max() <= 1.0
+        for t, lab, n in zip(texts, labels, lengths):
+            assert n == len(t)
+            assert [conv.dict[c] for c in t[::-1]] == list(lab[:n])
+            assert (lab[n:] == 0).all()
+
+    def test_clean_eval_mode_deterministic(self):
+        import pytest
+
+        from ocrfa_tpu.data import ShapedFarsiLines
+
+        try:
+            a = ShapedFarsiLines("ابجدهوز ", batch_size=3, seed=7,
+                                 jitter=False)
+            b = ShapedFarsiLines("ابجدهوز ", batch_size=3, seed=7,
+                                 jitter=False)
+        except RuntimeError as e:
+            pytest.skip(str(e))
+        ia, *_ , ta = a.batch()
+        ib, *_ , tb = b.batch()
+        assert ta == tb
+        np.testing.assert_array_equal(ia, ib)
