@@ -200,6 +200,90 @@ def greedy_generate(params, images, heads: int = 8, max_len: int = 64):
     return tokens, lengths
 
 
+@partial(jax.jit, static_argnames=("heads", "max_len"))
+def greedy_generate_scored(params, images, token_keep, heads: int = 8,
+                           max_len: int = 64):
+    """:func:`greedy_generate` + logit masking + sequence confidence.
+
+    ``token_keep`` is a ``(vocab,)`` 0/1 float mask over DECODER tokens
+    (see :func:`token_keep_from_ctc_mask` for the CTC-class mapping): the
+    pipeline's allowlist/ignore_char surface applied autoregressively.
+    Returns ``(tokens (N, max_len) EOS-padded, lengths (N,), confs (N,))``
+    where conf is the length-normalised geometric mean of the chosen-token
+    softmax probabilities over emitted steps — the transformer analog of
+    the CTC path's custom_mean confidence.
+    """
+    memory = encode(params, images, heads)
+    p = params["decoder"]
+    n = images.shape[0]
+    d = p["embed"].shape[1]
+    n_heads = heads
+    dh = d // n_heads
+    n_blocks = len(p["blocks"])
+    neg = jnp.asarray(-1e30, memory.dtype)
+
+    caches = [
+        {
+            "k": jnp.zeros((n, max_len, n_heads, dh), memory.dtype),
+            "v": jnp.zeros((n, max_len, n_heads, dh), memory.dtype),
+        }
+        for _ in range(n_blocks)
+    ]
+    cross_kvs = [
+        {
+            "k": (memory @ blk["cross"]["wk"]).reshape(n, -1, n_heads, dh),
+            "v": (memory @ blk["cross"]["wv"]).reshape(n, -1, n_heads, dh),
+        }
+        for blk in p["blocks"]
+    ]
+
+    def step(carry, idx):
+        token, done, caches, logp_sum, count = carry
+        x = p["embed"][token][:, None, :] + p["pos"][idx][None, None, :]
+        new_caches = []
+        for blk, cache, cross_kv in zip(p["blocks"], caches, cross_kvs):
+            x, cache = _decoder_block(blk, x, memory, n_heads, None,
+                                      cache=cache, idx=idx, cross_kv=cross_kv)
+            new_caches.append(cache)
+        x = _layer_norm(p["ln_f"], x)
+        logits = x[:, 0] @ p["out"]["w"] + p["out"]["b"]
+        logits = jnp.where(token_keep > 0, logits, neg)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_logp = jnp.take_along_axis(
+            logp, next_token[:, None], axis=-1)[:, 0]
+        logp_sum = logp_sum + jnp.where(done, 0.0, step_logp)
+        count = count + jnp.where(done, 0, 1)
+        next_token = jnp.where(done, EOS, next_token)
+        done = done | (next_token == EOS)
+        return (next_token, done, new_caches, logp_sum, count), next_token
+
+    init = (jnp.full((n,), BOS, jnp.int32), jnp.zeros((n,), bool), caches,
+            jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.int32))
+    (_, _, _, logp_sum, count), tokens = jax.lax.scan(
+        step, init, jnp.arange(max_len))
+    tokens = jnp.swapaxes(tokens, 0, 1)
+    lengths = jnp.sum(
+        jnp.cumprod((tokens != EOS).astype(jnp.int32), axis=1), axis=1)
+    confs = jnp.exp(logp_sum / jnp.maximum(count, 1))
+    return tokens, lengths, confs
+
+
+def token_keep_from_ctc_mask(keep_mask, vocab: int):
+    """Map a CTC-class keep mask (0 = blank, c = charset index c-1) onto
+    the decoder token space (``tokens_to_text``: token t -> character
+    ``[t - NUM_SPECIAL + 1]``).  PAD/BOS are never emitted; EOS always is.
+    """
+    import numpy as np
+
+    keep_mask = np.asarray(keep_mask, np.float32)
+    out = np.zeros((vocab,), np.float32)
+    out[EOS] = 1.0
+    n_chars = min(vocab - NUM_SPECIAL, keep_mask.shape[0] - 1)
+    out[NUM_SPECIAL:NUM_SPECIAL + n_chars] = keep_mask[1:1 + n_chars]
+    return out
+
+
 def tokens_to_text(tokens, lengths, character):
     """Decoder tokens -> strings (charset indices start at NUM_SPECIAL)."""
     import numpy as np

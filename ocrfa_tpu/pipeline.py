@@ -365,6 +365,77 @@ class Recognizer:
         return [[t, c] for t, c in zip(texts, confidences)]
 
 
+class TrocrRecognizer:
+    """Facade-compatible recognizer over the TrOCR transformer family.
+
+    Exposes the same driver surface as :class:`Recognizer`
+    (``predict_async``/``collect``/``predict`` + ``.converter``), so a
+    trained TrOCR injects straight into the production pipeline:
+    ``ocr.recognizer = TrocrRecognizer(params, converter)`` and
+    ``readtext``/``get_text``/``recognize_crops`` run unchanged — the
+    transformer is first-class, not a side demo (BASELINE config 4).
+
+    Decode is always the on-device KV-cached autoregressive greedy scan
+    (``models.trocr.greedy_generate_scored``); beam decoders fall back to
+    greedy (CTC-prefix beams don't apply to an autoregressive decoder).
+    The allowlist/ignore surface maps onto decoder-token logit masking and
+    confidence is the length-normalised geometric mean of chosen-token
+    probabilities (the custom_mean analog).
+    """
+
+    def __init__(self, params, converter, heads: int = 8, max_len: int = 48,
+                 compute_dtype=jnp.float32):
+        from ocrfa_tpu.models.trocr import (EOS, NUM_SPECIAL,
+                                            greedy_generate_scored)
+
+        self.converter = converter
+        self.params = params
+        self.heads = heads
+        self.max_len = max_len
+        self.compute_dtype = compute_dtype
+        self.mesh = None
+        self.decode_defaults: dict = {}
+        self.vocab = converter.num_classes - 1 + NUM_SPECIAL
+        self._eos = EOS
+
+        def _fused(params, x_u8, token_keep):
+            x = ((x_u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+                 ).astype(compute_dtype)
+            tokens, _lengths, confs = greedy_generate_scored(
+                params, x, token_keep, heads=heads, max_len=max_len)
+            # one packed device payload -> one host round trip (tokens fit
+            # u8: vocab = charset + 3 specials <= 188 for arabic_g1)
+            return pack_decode_payload(
+                compact_indices(tokens, self.vocab), confs)
+
+        self._apply = jax.jit(_fused)
+
+    def _token_keep(self, keep_mask):
+        from ocrfa_tpu.models.trocr import token_keep_from_ctc_mask
+
+        return jnp.asarray(token_keep_from_ctc_mask(keep_mask, self.vocab))
+
+    def predict_async(self, batch: np.ndarray, keep_mask: np.ndarray):
+        """Dispatch without blocking; returns a ``collect``-able handle."""
+        n = batch.shape[0]
+        x = jnp.asarray(batch)
+        payload = self._apply(self.params, x, self._token_keep(keep_mask))
+        return payload, n
+
+    def collect(self, handle):
+        from ocrfa_tpu.models.trocr import tokens_to_text
+
+        payload, n = handle
+        tokens, confs = unpack_decode_payload(np.asarray(payload)[:n])
+        lengths = np.cumprod(tokens != self._eos, axis=1).sum(axis=1)
+        texts = tokens_to_text(tokens, lengths, self.converter.character)
+        return [[t, c] for t, c in zip(texts, confs.tolist())]
+
+    def predict(self, batch, keep_mask, decoder: str = "greedy",
+                beam_width: int = 5, **_kwargs):
+        return self.collect(self.predict_async(batch, keep_mask))
+
+
 def recognize_crops(recognizer: Recognizer, crops, keep_mask=None,
                     img_h: int = 64, ladder=None):
     """Width-bucketed batch recognition over raw grey crops (config 2).

@@ -127,3 +127,83 @@ class TestPretrainRecipe:
         np.testing.assert_array_equal(tout[0], [3, 4, EOS, PAD])
         np.testing.assert_array_equal(tin[1], [BOS, 5, PAD, PAD])
         np.testing.assert_array_equal(tout[1], [5, EOS, PAD, PAD])
+
+
+class TestTrocrRecognizer:
+    """Facade-compatible wrapper: pipeline surface, masking, confidence."""
+
+    @pytest.fixture(scope="class")
+    def rec(self):
+        import jax
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.pipeline import TrocrRecognizer
+
+        charset = "ابجدهوز"
+        conv = CTCLabelConverter(charset)
+        params = trocr.init_trocr(
+            jax.random.PRNGKey(1), num_class=conv.num_classes, d_model=32,
+            heads=4, enc_layers=2, dec_layers=2, max_src=64, max_tgt=16)
+        return TrocrRecognizer(params, conv, heads=4, max_len=8)
+
+    def test_scored_matches_plain_generate(self, rec):
+        """With an all-ones mask, greedy_generate_scored must emit the
+        same tokens as greedy_generate."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        images = rng.standard_normal((3, 64, 32, 1)).astype(np.float32)
+        keep = jnp.ones((rec.vocab,))
+        t1, l1 = trocr.greedy_generate(rec.params, jnp.asarray(images),
+                                       heads=4, max_len=8)
+        t2, l2, confs = trocr.greedy_generate_scored(
+            rec.params, jnp.asarray(images), keep, heads=4, max_len=8)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        c = np.asarray(confs)
+        assert ((0.0 <= c) & (c <= 1.0)).all()
+
+    def test_pipeline_surface(self, rec):
+        """predict_async/collect round the full packed-payload path."""
+        from ocrfa_tpu.decode.device import keep_mask_for
+
+        rng = np.random.default_rng(4)
+        batch = rng.integers(0, 255, (4, 64, 32, 1)).astype(np.uint8)
+        keep = keep_mask_for(rec.converter.num_classes,
+                             rec.converter.ignore_idx)
+        out = rec.collect(rec.predict_async(batch, keep))
+        assert len(out) == 4
+        for text, conf in out:
+            assert isinstance(text, str)
+            assert 0.0 <= conf <= 1.0
+        # predict() (beam fallback) must agree with greedy
+        assert rec.predict(batch, keep, decoder="beamsearch") == out
+
+    def test_allowlist_masks_tokens(self, rec):
+        """Masking all charset classes but one can only emit that char."""
+        rng = np.random.default_rng(5)
+        batch = rng.integers(0, 255, (2, 64, 32, 1)).astype(np.uint8)
+        keep = np.zeros((rec.converter.num_classes,), np.float32)
+        keep[0] = 1.0  # blank (unused by trocr) — parity with CTC masks
+        keep[3] = 1.0  # only charset char index 2
+        allowed = rec.converter.character[3]
+        for text, _conf in rec.collect(rec.predict_async(batch, keep)):
+            assert set(text) <= {allowed}
+
+    def test_get_text_integration(self, rec):
+        """The production get_text driver runs unchanged over the
+        transformer recognizer (facade-injection path)."""
+        from ocrfa_tpu.pipeline import get_text
+
+        rng = np.random.default_rng(6)
+        crops = [rng.integers(0, 255, (64, 40), dtype=np.uint8)
+                 for _ in range(3)]
+        il = []
+        y = 0
+        for c in crops:
+            il.append(([[0, y], [40, y], [40, y + 64], [0, y + 64]], c))
+            y += 70
+        out = get_text("".join(rec.converter.character[1:]), 64, 64, rec, il)
+        assert len(out) == 3
+        for _box, text, conf in out:
+            assert isinstance(text, str) and 0.0 <= conf <= 1.0
