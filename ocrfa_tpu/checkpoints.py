@@ -622,3 +622,27 @@ def load_recognizer_blob(path: str, default_charset: str | None = None):
         raise ValueError(
             f"{path}: blob has no meta.charset and no default given")
     return blob["params"], charset, meta
+
+
+def build_recognizer_from_blob(path: str, default_charset: str | None = None):
+    """Recognizer-pickle -> ``(recognizer, charset, meta)``.
+
+    ``meta["family"]`` selects the wrapper: ``"trocr"`` builds a
+    :class:`~ocrfa_tpu.pipeline.TrocrRecognizer` (heads/max_len from the
+    blob meta — the pretrain_trocr --save-params contract); anything else
+    is a CRNN :class:`~ocrfa_tpu.pipeline.Recognizer`.
+    """
+    params, charset, meta = load_recognizer_blob(path, default_charset)
+    from ocrfa_tpu.decode import CTCLabelConverter
+
+    conv = CTCLabelConverter(charset)
+    if meta.get("family") == "trocr":
+        from ocrfa_tpu.pipeline import TrocrRecognizer
+
+        rec = TrocrRecognizer(params, conv, heads=meta.get("heads", 8),
+                              max_len=meta.get("max_len", 48))
+    else:
+        from ocrfa_tpu.pipeline import Recognizer
+
+        rec = Recognizer(params, conv)
+    return rec, charset, meta

@@ -73,17 +73,14 @@ def build_reader(args):
         ocr.detect_network = kind
         ocr.detector = detector
     if inject_rec:
-        from ocrfa_tpu.checkpoints import load_recognizer_blob
-        from ocrfa_tpu.decode import CTCLabelConverter
-        from ocrfa_tpu.pipeline import Recognizer
+        from ocrfa_tpu.checkpoints import build_recognizer_from_blob
         from ocrfa_tpu.registry import RECOGNITION_MODELS
 
-        params, charset, _meta = load_recognizer_blob(
+        recognizer, charset, _meta = build_recognizer_from_blob(
             args.recognizer_pickle,
             default_charset=RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"])
-        converter = CTCLabelConverter(charset)
-        ocr.recognizer = Recognizer(params, converter)
-        ocr.converter = converter
+        ocr.recognizer = recognizer
+        ocr.converter = recognizer.converter
         # recognize() builds allowlist/ignore masks from these; leaving the
         # zoo charset here would map indices into the wrong class space
         ocr.character = charset

@@ -285,10 +285,16 @@ def build_pipeline_from_args(args):
     from ocrfa_tpu.serving import ServingPipeline
 
     chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
-    rec_params = None
+    rec_params, rec_meta = None, {}
     if getattr(args, "recognizer_pickle", None):
-        rec_params, chars, _meta = load_recognizer_blob(
+        rec_params, chars, rec_meta = load_recognizer_blob(
             args.recognizer_pickle, default_charset=chars)
+    if rec_meta.get("family") == "trocr":
+        # ServingPipeline's ribbon/page fusion is CRNN-specific; route
+        # transformer blobs through the CLI read path instead
+        raise SystemExit(
+            "trocr recognizer blobs are not servable through the ribbon "
+            "pipeline; use `ocrfa-tpu read --recognizer-pickle ...`")
     conv = CTCLabelConverter(chars)
     if rec_params is None:
         rec_params = init_crnn_gen1(jax.random.PRNGKey(0),

@@ -52,6 +52,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (axon overrides JAX_PLATFORMS)")
     ap.add_argument("--ckpt-dir", type=str, default=None)
+    ap.add_argument("--save-params", type=str, default=None,
+                    help="pickle the final params as a trained blob "
+                         "(meta family=trocr) injectable via the CLI/server "
+                         "--recognizer-pickle flags")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -181,6 +185,18 @@ def main(argv=None):
     print(json.dumps(metrics))
     if args.out:
         Path(args.out).write_text(json.dumps(metrics, indent=2))
+    if args.save_params:
+        import pickle
+
+        blob = {"params": jax.tree.map(np.asarray, params),
+                "meta": {"family": "trocr", "charset": charset,
+                         "d_model": d_model, "layers": layers,
+                         "heads": heads,
+                         "max_len": int(max_label) + 2,
+                         "steps": args.steps,
+                         "realfont": bool(args.realfont)}}
+        with open(args.save_params, "wb") as f:
+            pickle.dump(blob, f)
     return 0
 
 

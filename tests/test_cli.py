@@ -47,8 +47,21 @@ def toy_blobs(tmp_path_factory):
         pickle.dump({"params": jax.tree.map(
                          np.asarray, init_dbnet(jax.random.PRNGKey(2))),
                      "losses": [], "meta": {"detector": "dbnet"}}, f)
+    from ocrfa_tpu.models.trocr import init_trocr
+
+    rec_trocr = d / "trocr.pkl"
+    with open(rec_trocr, "wb") as f:
+        # the pretrain_trocr --save-params contract
+        pickle.dump({"params": jax.tree.map(np.asarray, init_trocr(
+                         jax.random.PRNGKey(3), num_class=conv.num_classes,
+                         d_model=32, heads=4, enc_layers=2, dec_layers=2,
+                         max_src=64, max_tgt=16)),
+                     "meta": {"family": "trocr", "charset": charset,
+                              "d_model": 32, "layers": 2, "heads": 4,
+                              "max_len": 8}}, f)
     return {"recognizer": str(rec), "detector": str(det),
-            "detector_dbnet": str(det_db), "charset": charset}
+            "detector_dbnet": str(det_db), "recognizer_trocr": str(rec_trocr),
+            "charset": charset}
 
 
 @pytest.fixture(scope="module")
@@ -109,6 +122,29 @@ class TestRead:
         reader = cli.build_reader(_read_ns(toy_blobs))
         assert list(reader.character) == list(toy_blobs["charset"])
         assert set(reader.lang_char) == set(toy_blobs["charset"])
+
+    def test_trocr_blob_injects_transformer(self, toy_blobs):
+        """A blob with meta family=trocr (pretrain_trocr --save-params)
+        becomes a TrocrRecognizer behind the same facade."""
+        from ocrfa_tpu.pipeline import TrocrRecognizer
+
+        ns = _read_ns(toy_blobs)
+        ns.recognizer_pickle = toy_blobs["recognizer_trocr"]
+        reader = cli.build_reader(ns)
+        assert isinstance(reader.recognizer, TrocrRecognizer)
+        assert reader.converter.character[1:] == list(toy_blobs["charset"])
+
+    def test_trocr_blob_rejected_by_serving(self, toy_blobs):
+        import argparse
+
+        from ocrfa_tpu.server import add_serving_args, build_pipeline_from_args
+
+        ap = argparse.ArgumentParser()
+        add_serving_args(ap, port=0)
+        args = ap.parse_args(["--recognizer-pickle",
+                              toy_blobs["recognizer_trocr"]])
+        with pytest.raises(SystemExit, match="trocr"):
+            build_pipeline_from_args(args)
 
     def test_dbnet_blob_injects_dbnet_detector(self, toy_blobs):
         """A blob whose meta says detector="dbnet" (eval_selftrained's
