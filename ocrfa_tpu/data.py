@@ -252,7 +252,12 @@ class ShapedFarsiLines:
 
     def __init__(self, charset: str, batch_size: int = 32, width: int = 256,
                  height: int = 64, min_len: int = 2, max_len: int = 9,
-                 seed: int = 0, font_mix: bool = True, jitter: bool = True):
+                 seed: int = 0, font_mix: bool = True, jitter: bool = True,
+                 augment=None):
+        """``augment``: optional ``(crop_u8, rng) -> crop_u8`` hook applied
+        to each rendered line before jitter — e.g. the production
+        detection-crop transform (margins + tilt + 4-point warp +
+        height-normalise) that closes the render->deployment domain gap."""
         renderer = FontLineRenderer(height=height)
         if font_mix:
             renderer = MultiFontLineRenderer(
@@ -270,6 +275,7 @@ class ShapedFarsiLines:
         self.min_len = min_len
         self.max_len = max_len
         self.jitter = jitter
+        self.augment = augment
         self._rng = np.random.default_rng(seed)
         self.char_to_id = {c: i + 1 for i, c in enumerate(charset)}
 
@@ -288,7 +294,10 @@ class ShapedFarsiLines:
         texts = []
         for i in range(n):
             t = self.renderer.fit_text(self._sample_text(r), self.width - 12)
-            crop = self.renderer.render(t).astype(np.float32)
+            crop = self.renderer.render(t)
+            if self.augment is not None:
+                crop = self.augment(crop, r)
+            crop = crop.astype(np.float32)
             if self.jitter:
                 # contrast + noise + x-shift: break image-hash memorization
                 crop = 127.5 + (crop - 127.5) * (0.55 + 0.45 * r.random())

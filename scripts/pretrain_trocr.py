@@ -47,6 +47,11 @@ def main(argv=None):
                          "(data.ShapedFarsiLines) instead of glyph stamps")
     ap.add_argument("--font-mix", action="store_true",
                     help="with --realfont: per-line DejaVu Sans/Bold mix")
+    ap.add_argument("--det-augment", action="store_true",
+                    help="with --realfont: train THROUGH the production "
+                         "detection-crop transform (margins/tilt/4-pt warp "
+                         "+ height-normalise) so the model survives "
+                         "readtext's real crops, not just exact renders")
     ap.add_argument("--max-len", type=int, default=9,
                     help="with --realfont: max label length")
     ap.add_argument("--cpu", action="store_true",
@@ -56,6 +61,9 @@ def main(argv=None):
                     help="pickle the final params as a trained blob "
                          "(meta family=trocr) injectable via the CLI/server "
                          "--recognizer-pickle flags")
+    ap.add_argument("--continue-from", type=str, default=None,
+                    help="warm-start from a --save-params blob (model dims "
+                         "come from its meta)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args(argv)
 
@@ -97,15 +105,22 @@ def main(argv=None):
     if args.realfont:
         from ocrfa_tpu.data import ShapedFarsiLines
 
+        augment = None
+        if args.det_augment:
+            sys.path.insert(0, str(REPO / "scripts"))
+            from eval_selftrained import det_crop_augment
+
+            augment = det_crop_augment
         data = ShapedFarsiLines(charset, batch_size=args.batch,
                                 width=args.width, max_len=args.max_len,
-                                seed=0, font_mix=args.font_mix)
-        # held-out TEXT stream; clean renders (the serving input
-        # distribution), same fonts by construction
+                                seed=0, font_mix=args.font_mix,
+                                augment=augment)
+        # held-out TEXT stream through the same crop transform (the
+        # deployment distribution), clean of training jitter
         eval_data = ShapedFarsiLines(charset, batch_size=args.eval_lines,
                                      width=args.width, max_len=args.max_len,
                                      seed=10_000, font_mix=args.font_mix,
-                                     jitter=False)
+                                     jitter=False, augment=augment)
     else:
         data = SyntheticFarsiLines(charset, batch_size=args.batch,
                                    width=args.width, seed=0)
@@ -116,9 +131,22 @@ def main(argv=None):
                                         font=data.font)
     max_label = data.max_len
 
-    params = init_trocr(jax.random.PRNGKey(0), num_class=num_class,
-                        d_model=d_model, heads=heads, enc_layers=layers,
-                        dec_layers=layers)
+    if args.continue_from:
+        import pickle
+
+        with open(args.continue_from, "rb") as f:
+            blob = pickle.load(f)
+        cmeta = blob.get("meta", {})
+        assert cmeta.get("family") == "trocr", "not a trocr blob"
+        assert cmeta.get("charset", charset) == charset, "charset mismatch"
+        params = jax.tree.map(jnp.asarray, blob["params"])
+        d_model = cmeta.get("d_model", d_model)
+        layers = cmeta.get("layers", layers)
+        heads = cmeta.get("heads", heads)
+    else:
+        params = init_trocr(jax.random.PRNGKey(0), num_class=num_class,
+                            d_model=d_model, heads=heads, enc_layers=layers,
+                            dec_layers=layers)
     opt = make_trocr_optimizer(args.lr, warmup_steps=min(200, args.steps // 10 + 1),
                                total_steps=args.steps)
     opt_state = opt.init(params)
@@ -194,7 +222,8 @@ def main(argv=None):
                          "heads": heads,
                          "max_len": int(max_label) + 2,
                          "steps": args.steps,
-                         "realfont": bool(args.realfont)}}
+                         "realfont": bool(args.realfont),
+                         "det_augment": bool(args.det_augment)}}
         with open(args.save_params, "wb") as f:
             pickle.dump(blob, f)
     return 0
