@@ -624,6 +624,18 @@ def load_recognizer_blob(path: str, default_charset: str | None = None):
     return blob["params"], charset, meta
 
 
+def load_recognizer_calibration(path: str):
+    """The blob's calibration batches (``blob["calib"]``), or ``None``.
+
+    eval_farsi --save-params stores the training-time BN-calibration
+    batches alongside the params; serving uses them to build the static
+    int8 tower at startup (``Recognizer(quantized="static")``) without
+    needing fresh production data."""
+    blob = _load_blob(path)
+    calib = blob.get("calib")
+    return list(calib) if calib else None
+
+
 def build_recognizer_from_blob(path: str, default_charset: str | None = None):
     """Recognizer-pickle -> ``(recognizer, charset, meta)``.
 

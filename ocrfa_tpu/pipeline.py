@@ -46,7 +46,7 @@ class Recognizer:
 
     def __init__(self, params, converter, variant: str = "gen1",
                  compute_dtype=jnp.float32, mesh=None, quantized=False,
-                 calibration_batches=None):
+                 calibration_batches=None, act_amax=None):
         """``quantized`` selects the conv-tower numerics for gen1:
 
         * ``False`` — f32/bf16 per ``compute_dtype`` (bit-parity path);
@@ -55,7 +55,11 @@ class Recognizer:
           argmax-identical to bf16);
         * ``"static"`` — calibrated static-scale int8 with folded BN (the
           serving fast path; requires ``calibration_batches``: normalized
-          f32 crop batches representative of production input).
+          f32 crop batches representative of production input — or
+          ``act_amax``, a previously computed activation-amax tree, so
+          deployments quantize at startup without calibration data.  The
+          amax the calibration produced is kept on ``self.act_amax`` for
+          persistence, e.g. into a trained-blob's ``meta["act_amax"]``).
         """
         self.converter = converter
         self.variant = variant
@@ -66,6 +70,7 @@ class Recognizer:
         # can't thread a trie through the reference's kwarg surface)
         self.decode_defaults: dict = {}
         self.quantized = quantized if variant == "gen1" else False
+        self.act_amax = None
         if self.quantized == "static":
             from ocrfa_tpu.models.quant import (
                 calibrate_crnn_gen1,
@@ -73,12 +78,17 @@ class Recognizer:
                 quantize_crnn_gen1_static,
             )
 
-            if not calibration_batches:
+            if act_amax is not None:
+                amax = act_amax
+            elif calibration_batches:
+                amax = calibrate_crnn_gen1(params, calibration_batches)
+            else:
                 raise ValueError(
                     "quantized='static' needs calibration_batches "
-                    "(normalized f32 crops, e.g. one representative batch)"
+                    "(normalized f32 crops, e.g. one representative batch) "
+                    "or a precomputed act_amax tree"
                 )
-            amax = calibrate_crnn_gen1(params, calibration_batches)
+            self.act_amax = jax.tree.map(np.asarray, amax)
             params = quantize_crnn_gen1_static(params, amax)
             compute_dtype = jnp.float32  # quant path manages its own dtypes
             model_fn = lambda p, v: crnn_apply_int8_static(p, v)

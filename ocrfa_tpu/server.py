@@ -7,6 +7,8 @@ A production-style streaming server for the device-resident page path
   greyscale uint8 with ``X-Height``/``X-Width`` headers).  Responds JSON
   ``{"results": [{"box": [[x, y] x4], "text": str, "confidence": float}]}``.
 * ``GET /healthz`` — liveness + queue depth.
+* ``GET /metrics`` — Prometheus text exposition: page/batch/error counters
+  and queue-to-result latency quantiles over the last 1024 pages.
 
 Requests from concurrent connections are funneled through a single
 dispatcher thread that keeps ``depth`` pages in flight on the device
@@ -17,23 +19,26 @@ has no serving layer (library only, ocr.py); this is new TPU-side surface.
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 
 class _Job:
-    __slots__ = ("page", "event", "result", "error")
+    __slots__ = ("page", "event", "result", "error", "t_submit")
 
     def __init__(self, page):
         self.page = page
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.t_submit = time.perf_counter()
 
 
 class PipelineDispatcher:
@@ -53,7 +58,11 @@ class PipelineDispatcher:
         self.depth = depth
         self.max_batch = max_batch
         self.jobs: queue.Queue = queue.Queue(maxsize=max_queue)
-        self.stats = {"pages": 0, "batches": 0, "batched_pages": 0}
+        self.stats = {"pages": 0, "batches": 0, "batched_pages": 0,
+                      "errors": 0}
+        # queue-to-result wall time of the last 1024 pages, for the
+        # /metrics latency quantiles (bounded: old samples age out)
+        self._latencies: collections.deque = collections.deque(maxlen=1024)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -71,6 +80,27 @@ class PipelineDispatcher:
 
     def qsize(self) -> int:
         return self.jobs.qsize()
+
+    def _finish(self, job, result=None, error=None):
+        job.result = result
+        job.error = error
+        if error is not None:
+            self.stats["errors"] += 1
+        else:
+            self._latencies.append(time.perf_counter() - job.t_submit)
+        job.event.set()
+
+    def metrics(self) -> dict:
+        """Snapshot counters + latency quantiles for the /metrics endpoint."""
+        lat = sorted(self._latencies)
+
+        def q(p):
+            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+
+        return {**self.stats, "queued": self.qsize(),
+                "latency_samples": len(lat),
+                "latency_p50_s": q(0.50), "latency_p95_s": q(0.95),
+                "latency_p99_s": q(0.99)}
 
     def close(self):
         self._stop.set()
@@ -110,8 +140,7 @@ class PipelineDispatcher:
                         out.append((j, self.pipeline.submit_page(j.page)))
                         self.stats["pages"] += 1
                     except Exception as exc:  # malformed page, OOM, ...
-                        j.error = exc
-                        j.event.set()
+                        self._finish(j, error=exc)
             else:
                 try:
                     handles = self.pipeline.submit_page_batch(
@@ -122,8 +151,7 @@ class PipelineDispatcher:
                     out.extend(zip(group, handles))
                 except Exception as exc:  # whole batch dispatch failed
                     for j in group:
-                        j.error = exc
-                        j.event.set()
+                        self._finish(j, error=exc)
         return out
 
     def _run(self):
@@ -135,16 +163,14 @@ class PipelineDispatcher:
                                 or (not jobs and self.jobs.empty())):
                 j, handle = inflight.pop(0)
                 try:
-                    j.result = self.pipeline.finish_page(handle)
+                    self._finish(j, result=self.pipeline.finish_page(handle))
                 except Exception as exc:
-                    j.error = exc
-                j.event.set()
+                    self._finish(j, error=exc)
         for j, handle in inflight:
             try:
-                j.result = self.pipeline.finish_page(handle)
+                self._finish(j, result=self.pipeline.finish_page(handle))
             except Exception as exc:
-                j.error = exc
-            j.event.set()
+                self._finish(j, error=exc)
 
 
 def _decode_body(handler) -> np.ndarray:
@@ -198,6 +224,29 @@ def make_handler(dispatcher: PipelineDispatcher, auth=None):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True, "queued": dispatcher.qsize(),
                                   "stats": dict(dispatcher.stats)})
+            elif self.path == "/metrics":
+                # Prometheus text exposition (stays open like /healthz:
+                # scrapers don't carry API keys)
+                m = dispatcher.metrics()
+                lines = []
+                for key, kind in (("pages", "counter"),
+                                  ("batches", "counter"),
+                                  ("batched_pages", "counter"),
+                                  ("errors", "counter"),
+                                  ("queued", "gauge"),
+                                  ("latency_samples", "gauge"),
+                                  ("latency_p50_s", "gauge"),
+                                  ("latency_p95_s", "gauge"),
+                                  ("latency_p99_s", "gauge")):
+                    lines.append(f"# TYPE ocrfa_{key} {kind}")
+                    lines.append(f"ocrfa_{key} {m[key]}")
+                data = ("\n".join(lines) + "\n").encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -299,7 +348,29 @@ def build_pipeline_from_args(args):
     if rec_params is None:
         rec_params = init_crnn_gen1(jax.random.PRNGKey(0),
                                     num_class=conv.num_classes)
-    recognizer = Recognizer(rec_params, conv)
+    quantize = getattr(args, "quantize", "none") or "none"
+    if quantize == "static":
+        # the serving fast path (bench.py numerics): activation scales from,
+        # in preference order, a previously persisted amax tree (blob
+        # meta["act_amax"]), the blob's own training-time calibration
+        # batches, or synthetic charset renders as a last resort
+        amax = rec_meta.get("act_amax")
+        batches = None
+        if amax is None and getattr(args, "recognizer_pickle", None):
+            from ocrfa_tpu.checkpoints import load_recognizer_calibration
+
+            batches = load_recognizer_calibration(args.recognizer_pickle)
+        if amax is None and not batches:
+            from ocrfa_tpu.data import SyntheticFarsiLines
+
+            ds = SyntheticFarsiLines(chars, batch_size=64, width=256)
+            batches = [ds.batch()[0] for _ in range(2)]
+        recognizer = Recognizer(rec_params, conv, quantized="static",
+                                act_amax=amax, calibration_batches=batches)
+    elif quantize == "dynamic":
+        recognizer = Recognizer(rec_params, conv, quantized="dynamic")
+    else:
+        recognizer = Recognizer(rec_params, conv)
 
     det_params, det_kind = None, "craft"
     if getattr(args, "detector_pickle", None):
@@ -320,6 +391,12 @@ def add_serving_args(ap, port):
                     help="trained blob from scripts/eval_farsi.py --save-params")
     ap.add_argument("--detector-pickle", default=None,
                     help="trained blob from scripts/eval_selftrained.py --save-craft")
+    ap.add_argument("--quantize", choices=("none", "dynamic", "static"),
+                    default="none",
+                    help="recognizer tower numerics: 'static' is the "
+                         "calibrated int8 serving fast path (~2x f32; "
+                         "scales from the blob's calibration batches), "
+                         "'none' the f32 parity path")
     ap.add_argument("--api-keys", default=None,
                     help="comma-separated accepted bearer keys (enables auth)")
     ap.add_argument("--rate", type=float, default=None,

@@ -105,3 +105,34 @@ class TestStaticInt8:
         params, _ = toy
         with pytest.raises(ValueError):
             Recognizer(params, CTCLabelConverter("اب"), quantized="static")
+
+
+class TestActAmaxPersistence:
+    def test_amax_roundtrip_identical_outputs(self, toy):
+        """A recognizer rebuilt from the persisted act_amax tree (no
+        calibration data) must produce the exact quantized params — the
+        serve-startup path (server.build_pipeline_from_args --quantize
+        static with a blob meta["act_amax"])."""
+        import pickle
+
+        from ocrfa_tpu.decode import CTCLabelConverter
+        from ocrfa_tpu.decode.device import keep_mask_for
+        from ocrfa_tpu.pipeline import Recognizer
+
+        params, x = toy
+        conv = CTCLabelConverter("ابتثجخدذرزس")
+        keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
+        r1 = Recognizer(params, conv, quantized="static",
+                        calibration_batches=[x])
+        assert r1.act_amax, "calibrated recognizer must expose act_amax"
+        # the tree must survive a pickle round trip (blob meta persistence)
+        amax = pickle.loads(pickle.dumps(r1.act_amax))
+        r2 = Recognizer(params, conv, quantized="static", act_amax=amax)
+
+        batch = np.random.default_rng(3).integers(
+            0, 255, (8, 64, 64, 1)).astype(np.uint8)
+        out1 = r1.predict(batch, keep)
+        out2 = r2.predict(batch, keep)
+        assert [t for t, _ in out1] == [t for t, _ in out2]
+        np.testing.assert_allclose([c for _, c in out1],
+                                   [c for _, c in out2], rtol=1e-6)

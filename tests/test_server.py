@@ -293,3 +293,122 @@ class TestSinglesFailureIsolation:
         finally:
             pipe.release.set()
             disp.close()
+
+
+class TestMetricsEndpoint:
+    def _scrape(self, srv):
+        conn = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=60)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        text = resp.read().decode("utf-8")
+        conn.close()
+        return resp.status, text
+
+    def test_prometheus_exposition(self, server):
+        # drive one page through so the counters are non-zero
+        page = np.random.default_rng(5).integers(
+            0, 255, (96, 128), dtype=np.uint8)
+        status, _ = _request(server, "POST", "/ocr", body=page.tobytes(),
+                             headers={"X-Height": "96", "X-Width": "128"})
+        assert status == 200
+        status, text = self._scrape(server)
+        assert status == 200
+        values = {}
+        for line in text.splitlines():
+            if line and not line.startswith("#"):
+                name, val = line.split()
+                values[name] = float(val)
+        assert values["ocrfa_pages"] >= 1
+        assert values["ocrfa_errors"] == 0
+        assert values["ocrfa_latency_samples"] >= 1
+        assert values["ocrfa_latency_p50_s"] > 0
+        assert values["ocrfa_latency_p95_s"] >= values["ocrfa_latency_p50_s"]
+        assert "# TYPE ocrfa_pages counter" in text
+        assert "# TYPE ocrfa_queued gauge" in text
+
+    def test_error_counter_and_quantiles(self):
+        from ocrfa_tpu.server import PipelineDispatcher
+
+        class Pipe:  # no submit_page_batch
+            def submit_page(self, page):
+                if int(page[0, 0]) == 9:
+                    raise ValueError("bad page")
+                return int(page[0, 0])
+
+            def finish_page(self, handle):
+                return [handle]
+
+        disp = PipelineDispatcher(Pipe(), depth=1)
+        try:
+            assert disp.submit(np.full((4, 4), 1, np.uint8)) == [1]
+            with pytest.raises(ValueError):
+                disp.submit(np.full((4, 4), 9, np.uint8))
+            m = disp.metrics()
+            assert m["errors"] == 1
+            assert m["pages"] == 1
+            assert m["latency_samples"] == 1  # errors don't pollute latency
+            assert m["latency_p99_s"] >= m["latency_p50_s"] > 0
+        finally:
+            disp.close()
+
+
+class TestQuantizeFlag:
+    def test_static_quant_from_blob_calib(self, tmp_path):
+        """--quantize static builds the calibrated int8 recognizer from the
+        blob's own training-time calibration batches."""
+        import argparse
+        import pickle
+
+        import jax
+
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.server import build_pipeline_from_args
+
+        charset = "ابتثجخدذرزس"
+        params = init_crnn_gen1(jax.random.PRNGKey(0),
+                                num_class=len(charset) + 1,
+                                output_channel=64, hidden_size=64)
+        rng = np.random.default_rng(0)
+        calib = ((rng.integers(0, 255, (8, 64, 64, 1)) / 255.0 - 0.5)
+                 / 0.5).astype(np.float32)
+        blob = {"params": jax.tree.map(np.asarray, params),
+                "calib": [calib],
+                "meta": {"charset": charset}}
+        path = tmp_path / "rec.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+        args = argparse.Namespace(
+            recognizer_pickle=str(path), detector_pickle=None,
+            canvas_size=128, quantize="static")
+        pipeline = build_pipeline_from_args(args)
+        assert pipeline.recognizer.quantized == "static"
+        assert pipeline.recognizer.act_amax
+
+    def test_static_quant_calibless_blob_synthesizes(self, tmp_path):
+        """A blob with no stored calibration batches: static quant falls
+        back to synthetic charset renders as calibration content."""
+        import argparse
+        import pickle
+
+        import jax
+
+        from ocrfa_tpu.models.crnn import init_crnn_gen1
+        from ocrfa_tpu.server import build_pipeline_from_args
+
+        charset = "ابتثجخدذرزس"
+        params = init_crnn_gen1(jax.random.PRNGKey(2),
+                                num_class=len(charset) + 1,
+                                output_channel=64, hidden_size=64)
+        blob = {"params": jax.tree.map(np.asarray, params),
+                "meta": {"charset": charset}}
+        path = tmp_path / "rec_nocalib.pkl"
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+        args = argparse.Namespace(
+            recognizer_pickle=str(path), detector_pickle=None,
+            canvas_size=128, quantize="static")
+        pipeline = build_pipeline_from_args(args)
+        assert pipeline.recognizer.quantized == "static"
+        assert pipeline.recognizer.act_amax
