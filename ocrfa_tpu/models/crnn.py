@@ -55,8 +55,15 @@ def _layer(p_blocks, x, train: bool = False):
     return x
 
 
-def resnet_features(p, x, train: bool = False):
-    """gen1 extractor: (N, 64, W, 1) -> (N, 3, W/4+1, C_out)."""
+def resnet_features(p, x, train: bool = False, w8: bool = False):
+    """gen1 extractor: (N, 64, W, 1) -> (N, 3, W/4+1, C_out).
+
+    ``w8=True`` is the serving FLOP-cut variant (``gen1w8``): the /8-stage
+    max pool strides the width axis too, so layer3/layer4 — 78% of the
+    tower's FLOPs — run at W/8 instead of W/4 (T = W/8+1).  The parameter
+    tree is IDENTICAL to stock gen1; only the pool stride differs, so
+    warm starts/exports move freely between the variants.
+    """
     x = relu(batch_norm(conv2d(x, p["conv0_1"]["w"], padding=1), p["bn0_1"], train))
     x = relu(batch_norm(conv2d(x, p["conv0_2"]["w"], padding=1), p["bn0_2"], train))
 
@@ -68,7 +75,7 @@ def resnet_features(p, x, train: bool = False):
     x = _layer(p["layer2"], x, train)
     x = relu(batch_norm(conv2d(x, p["conv2"]["w"], padding=1), p["bn2"], train))
 
-    x = max_pool(x, 2, stride=(2, 1), padding=(0, 1))
+    x = max_pool(x, 2, stride=(2, 2 if w8 else 1), padding=(0, 1))
     x = _layer(p["layer3"], x, train)
     x = relu(batch_norm(conv2d(x, p["conv3"]["w"], padding=1), p["bn3"], train))
 
@@ -105,9 +112,16 @@ def vgg_features(p, x, train: bool = False):
 
 
 def crnn_apply(params, x, variant: str = "gen1", train: bool = False):
-    """Line crops (N, H, W, 1) -> CTC logits (N, T, num_class)."""
-    feats = (resnet_features(params["feat"], x, train) if variant == "gen1"
-             else vgg_features(params["feat"], x, train))
+    """Line crops (N, H, W, 1) -> CTC logits (N, T, num_class).
+
+    Variants: ``gen1`` (reference-parity ResNet extractor), ``gen1w8``
+    (same params, extra width stride — the reduced-FLOP serving tower),
+    ``gen2`` (VGG extractor).
+    """
+    if variant in ("gen1", "gen1w8"):
+        feats = resnet_features(params["feat"], x, train, w8=variant == "gen1w8")
+    else:
+        feats = vgg_features(params["feat"], x, train)
     # torch: permute NCHW->(N,W,C,H), AdaptiveAvgPool2d((None,1)) == mean
     # over H (blocks.py:440-446); NHWC: mean over axis 1.
     seq = jnp.mean(feats, axis=1)  # (N, T, C)
@@ -120,6 +134,8 @@ def sequence_length(width: int, variant: str = "gen1") -> int:
     """Feature-sequence length for an input crop width."""
     if variant == "gen1":
         return width // 4 + 1
+    if variant == "gen1w8":
+        return width // 8 + 1
     return width // 4 - 1
 
 

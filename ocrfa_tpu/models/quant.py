@@ -99,7 +99,7 @@ def _block_int8(p, x):
     return relu(y + residual)
 
 
-def resnet_features_int8(p, x):
+def resnet_features_int8(p, x, w8: bool = False):
     """int8 twin of ``crnn.resnet_features`` (same topology/order)."""
     x = relu(batch_norm(_conv_int8(x, p["conv0_1"], padding=1), p["bn0_1"]))
     x = relu(batch_norm(_conv_int8(x, p["conv0_2"], padding=1), p["bn0_2"]))
@@ -117,7 +117,7 @@ def resnet_features_int8(p, x):
     x = layer(p["layer2"], x)
     x = relu(batch_norm(_conv_int8(x, p["conv2"], padding=1), p["bn2"]))
 
-    x = max_pool(x, 2, stride=(2, 1), padding=(0, 1))
+    x = max_pool(x, 2, stride=(2, 2 if w8 else 1), padding=(0, 1))
     x = layer(p["layer3"], x)
     x = relu(batch_norm(_conv_int8(x, p["conv3"], padding=1), p["bn3"]))
 
@@ -127,9 +127,9 @@ def resnet_features_int8(p, x):
     return x
 
 
-def crnn_apply_int8(qparams, x):
+def crnn_apply_int8(qparams, x, w8: bool = False):
     """gen1 forward with the int8 conv tower; head in bf16."""
-    feats = resnet_features_int8(qparams["feat"], x)
+    feats = resnet_features_int8(qparams["feat"], x, w8=w8)
     seq = jnp.mean(feats, axis=1).astype(jnp.bfloat16)
     seq = bilstm(seq, qparams["seq0"])
     seq = bilstm(seq, qparams["seq1"])
@@ -140,12 +140,13 @@ def crnn_apply_int8(qparams, x):
 # Static-scale int8 (calibrated activation scales + BN folding)
 
 
-def _walk_gen1_tower(feat, x, conv_bn):
+def _walk_gen1_tower(feat, x, conv_bn, w8: bool = False):
     """Drive the gen1 tower topology once, delegating every conv+BN pair to
     ``conv_bn(x, parent, conv_name, bn_name, key, stride, padding)``.
 
     Shared by calibration (f32 compute + amax recording) and the static-int8
-    forward (quantized compute); topology mirrors ``crnn.resnet_features``.
+    forward (quantized compute); topology mirrors ``crnn.resnet_features``
+    (``w8`` selects the gen1w8 width-strided /8 pool).
     """
 
     def block(x, bp, key):
@@ -170,7 +171,7 @@ def _walk_gen1_tower(feat, x, conv_bn):
     x = max_pool(x, 2, 2)
     x = layer(x, "layer2")
     x = relu(conv_bn(x, feat, "conv2", "bn2", "conv2", 1, 1))
-    x = max_pool(x, 2, stride=(2, 1), padding=(0, 1))
+    x = max_pool(x, 2, stride=(2, 2 if w8 else 1), padding=(0, 1))
     x = layer(x, "layer3")
     x = relu(conv_bn(x, feat, "conv3", "bn3", "conv3", 1, 1))
     x = layer(x, "layer4")
@@ -179,7 +180,7 @@ def _walk_gen1_tower(feat, x, conv_bn):
     return x
 
 
-def calibrate_crnn_gen1(params, batches):
+def calibrate_crnn_gen1(params, batches, w8: bool = False):
     """Per-conv-input activation amax over calibration batches.
 
     ``batches``: iterable of normalized f32 crop batches (N, 64, W, 1).
@@ -195,7 +196,7 @@ def calibrate_crnn_gen1(params, batches):
             y = conv2d(v, parent[cn]["w"], stride=stride, padding=padding)
             return batch_norm(y, parent[bn])
 
-        _walk_gen1_tower(feat, x, conv_bn)
+        _walk_gen1_tower(feat, x, conv_bn, w8=w8)
         return record
 
     forward_j = jax.jit(forward)
@@ -286,18 +287,19 @@ def _conv_static(x, q, stride, padding):
     return y.astype(jnp.bfloat16)
 
 
-def resnet_features_int8_static(qfeat, x):
+def resnet_features_int8_static(qfeat, x, w8: bool = False):
     """Static-int8 twin of ``crnn.resnet_features`` (BN pre-folded)."""
 
     def conv_bn(v, parent, cn, bn, key, stride, padding):
         return _conv_static(v, parent[cn], stride, padding)
 
-    return _walk_gen1_tower(qfeat, x, conv_bn)
+    return _walk_gen1_tower(qfeat, x, conv_bn, w8=w8)
 
 
-def crnn_apply_int8_static(qparams, x):
+def crnn_apply_int8_static(qparams, x, w8: bool = False):
     """gen1 forward with the calibrated static-int8 conv tower."""
-    feats = resnet_features_int8_static(qparams["feat"], x.astype(jnp.float32))
+    feats = resnet_features_int8_static(qparams["feat"], x.astype(jnp.float32),
+                                        w8=w8)
     seq = jnp.mean(feats.astype(jnp.float32), axis=1).astype(jnp.bfloat16)
     seq = bilstm(seq, qparams["seq0"])
     seq = bilstm(seq, qparams["seq1"])

@@ -69,8 +69,9 @@ class Recognizer:
         # from the facade (OCR.readtext(decoder="wordbeamsearch_fast")
         # can't thread a trie through the reference's kwarg surface)
         self.decode_defaults: dict = {}
-        self.quantized = quantized if variant == "gen1" else False
+        self.quantized = quantized if variant in ("gen1", "gen1w8") else False
         self.act_amax = None
+        w8 = variant == "gen1w8"
         if self.quantized == "static":
             from ocrfa_tpu.models.quant import (
                 calibrate_crnn_gen1,
@@ -81,7 +82,7 @@ class Recognizer:
             if act_amax is not None:
                 amax = act_amax
             elif calibration_batches:
-                amax = calibrate_crnn_gen1(params, calibration_batches)
+                amax = calibrate_crnn_gen1(params, calibration_batches, w8=w8)
             else:
                 raise ValueError(
                     "quantized='static' needs calibration_batches "
@@ -91,13 +92,13 @@ class Recognizer:
             self.act_amax = jax.tree.map(np.asarray, amax)
             params = quantize_crnn_gen1_static(params, amax)
             compute_dtype = jnp.float32  # quant path manages its own dtypes
-            model_fn = lambda p, v: crnn_apply_int8_static(p, v)
+            model_fn = lambda p, v: crnn_apply_int8_static(p, v, w8=w8)
         elif self.quantized:
             from ocrfa_tpu.models.quant import crnn_apply_int8, quantize_crnn_gen1
 
             params = quantize_crnn_gen1(params)
             compute_dtype = jnp.float32
-            model_fn = lambda p, v: crnn_apply_int8(p, v)
+            model_fn = lambda p, v: crnn_apply_int8(p, v, w8=w8)
         else:
             model_fn = partial(crnn_apply, variant=variant)
         self.compute_dtype = compute_dtype

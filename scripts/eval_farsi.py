@@ -118,7 +118,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                reuse=24, buffer_batches=64, ignite_batches=5,
                snapshot_path=None, snap_every=2000,
                renderer=None, ladder_samplers=None, ema_decay=None,
-               init_params=None, warm_start=False):
+               init_params=None, warm_start=False, variant="gen1"):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -379,7 +379,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                            * (1 + jnp.cos(jnp.pi * (frac - 0.7) / 0.3))))
     opt = make_optimizer(lr)
     state = opt.init(params)
-    inner_step = make_train_step(opt)
+    inner_step = make_train_step(opt, variant=variant)
 
     @jax.jit
     def step(p, s, im_u8, lb, ln):
@@ -391,7 +391,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     @jax.jit
     def _eval_loss(p, im_u8, lb, ln):
         im = (im_u8.astype(jnp.float32) - 127.5) / 127.5
-        return _ctc_loss(crnn_apply(p, im, train=True), lb, ln)
+        return _ctc_loss(crnn_apply(p, im, variant=variant, train=True), lb, ln)
 
     # fixed clean held-out batch, probed during training: a large gap vs
     # the train loss is the memorization signal, visible live
@@ -495,12 +495,13 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
             recent = [((b[0].astype(np.float32) / 255.0) - 0.5) / 0.5
                       for b in list(calib_recent)[-4:]]
             snap = calibrate_bn_stats(
-                best["params"], lambda p, b: crnn_apply(p, b),
+                best["params"], lambda p, b: crnn_apply(p, b, variant=variant),
                 [b[:32] for b in recent])
             save_trained(snapshot_path + ".tmp", snap, best["held"],
                          recent[:2],
                          dict(charset=charset, oc=oc, hs=hs,
-                              glyph_w=glyph_w, steps=best["step"]))
+                              glyph_w=glyph_w, steps=best["step"],
+                              variant=variant))
             os.replace(snapshot_path + ".tmp", snapshot_path)
             best["saved"] = best["step"]
     if verbose:
@@ -548,7 +549,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     calib_f32 = [((b[0].astype(np.float32) / 255.0) - 0.5) / 0.5
                  for b in calib_host[-4:]]
     params = calibrate_bn_stats(
-        params, lambda p, b: crnn_apply(p, b), [b[:32] for b in calib_f32])
+        params, lambda p, b: crnn_apply(p, b, variant=variant),
+        [b[:32] for b in calib_f32])
     return params, conv, font, loss, calib_f32[:2]
 
 
@@ -595,6 +597,14 @@ def main():
                          "0 disables.  The EMA competes with raw params on "
                          "the held-out probe for the returned weights")
     ap.add_argument("--small", action="store_true", help="64-ch model + tiny charset (CPU smoke)")
+    ap.add_argument("--variant", choices=["gen1", "gen1w8"], default="gen1",
+                    help="gen1w8: the reduced-FLOP serving tower (extra "
+                         "width stride at the /8 pool; T = W/8+1). Same "
+                         "param tree as gen1, ~0.6x tower FLOPs")
+    ap.add_argument("--oc", type=int, default=None,
+                    help="override output_channel (tower width; default 512)")
+    ap.add_argument("--hs", type=int, default=None,
+                    help="override LSTM hidden size (default 512)")
     ap.add_argument("--realfont", action="store_true",
                     help="train/eval on REAL shaped Farsi typography "
                          "(PIL+libraqm + DejaVu Sans: contextual letterforms, "
@@ -643,6 +653,9 @@ def main():
     else:
         charset = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
         oc = hs = 512
+    oc = args.oc or oc
+    hs = args.hs or hs
+    variant = args.variant
     if args.load_params:
         params, conv, font, loss, calib_batches, meta = load_trained(
             args.load_params)
@@ -651,6 +664,7 @@ def main():
         args.steps = meta["steps"]
         args.realfont = bool(meta.get("realfont", args.realfont))
         args.font_mix = bool(meta.get("font_mix", args.font_mix))
+        variant = meta.get("variant", variant)
     init_params, prev_steps = None, 0
     if args.continue_from:
         init_params, _c0, _f0, _l0, _cal0, cmeta = load_trained(
@@ -660,6 +674,7 @@ def main():
         prev_steps = int(cmeta.get("steps", 0))
         args.realfont = bool(cmeta.get("realfont", args.realfont))
         args.font_mix = bool(cmeta.get("font_mix", args.font_mix))
+        variant = cmeta.get("variant", variant)
         if "realfont" not in cmeta and not args.realfont:
             # snapshots predating the realfont meta keys can't say which
             # renderer trained them; continuing a shaped-typography model
@@ -697,13 +712,13 @@ def main():
                            if args.save_params else None),
             ema_decay=(args.ema or None),
             init_params=init_params, warm_start=init_params is not None,
-            **extra)
+            variant=variant, **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
                           steps=prev_steps + args.steps,
                           realfont=bool(args.realfont),
-                          font_mix=bool(args.font_mix)))
+                          font_mix=bool(args.font_mix), variant=variant))
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
@@ -722,7 +737,7 @@ def main():
     max_width = -(-max(c.shape[1] for c in crops) // 64) * 64
 
     # ---- this framework: parity path --------------------------------------
-    recognizer = Recognizer(params, conv)
+    recognizer = Recognizer(params, conv, variant=variant)
     t0 = time.time()
     ours = get_text(charset, 64, max_width, recognizer, image_list)
     ours_texts = [t for _, t, _ in ours]
@@ -734,7 +749,7 @@ def main():
     lat = np.array(lat)
 
     # ---- serving fast path: ribbon wire + static int8 ---------------------
-    fast = Recognizer(params, conv, quantized="static",
+    fast = Recognizer(params, conv, variant=variant, quantized="static",
                       calibration_batches=[calib_batches[0][:64]])
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
     fast_res = fast.collect(fast.predict_ribbon_async(crops, keep, out_w=max_width))
@@ -754,8 +769,11 @@ def main():
     from torch_replicas import Gen1Model
 
     ref_utils = import_reference_utils()
+    # the gen1w8 serving tower has no reference counterpart; the torch leg
+    # uses OUR replica with the matching pool stride (same state-dict keys),
+    # so cross-framework numerics stay checkable for every variant
     model = Gen1Model(num_class=conv.num_classes, output_channel=oc,
-                      hidden_size=hs).eval()
+                      hidden_size=hs, w8=variant == "gen1w8").eval()
     model.load_state_dict({k: torch.from_numpy(np.array(v))
                            for k, v in export_crnn_gen1(params).items()},
                           strict=True)
@@ -771,7 +789,7 @@ def main():
     exact = float(np.mean([a == b for a, b in zip(ours_texts, ref_texts)]))
     metrics = {
         "eval_lines": len(eval_texts),
-        "model": f"gen1 {oc}/{hs}, {len(charset)}-char charset",
+        "model": f"{variant} {oc}/{hs}, {len(charset)}-char charset",
         "text_source": ((f"shaped DejaVu Sans{' +Bold mix' if args.font_mix else ''}"
                          f" (real typography, {len(text_charset)}-char RTL subset)")
                         if args.realfont else "blob glyph stamps"),

@@ -98,3 +98,189 @@ class TestLossParity:
         assert losses.build_loss("L1BalanceCELoss") is losses.l1_balance_ce_loss
         with pytest.raises(ValueError):
             losses.build_loss("NopeLoss")
+
+    def test_registry_covers_every_reference_builder_name(self, ref_losses):
+        """build_loss resolves every class SegDetectorLossBuilder can
+        (seg_detector_loss.py:7-34 resolves module-level class names)."""
+        import inspect
+
+        import torch.nn as nn
+
+        ref_names = {
+            name for name, obj in vars(ref_losses).items()
+            if inspect.isclass(obj) and issubclass(obj, nn.Module)
+            and name != "SegDetectorLossBuilder"
+        }
+        for name in ref_names:
+            assert callable(losses.build_loss(name)), name
+
+
+class TestAdaptiveDiceFamily:
+    def test_adaptive_dice(self, ref_losses):
+        rng = np.random.default_rng(11)
+        pred, batch = _batch(rng)
+        tp, tb = _to_torch(pred, batch)
+        ref_loss, ref_m = ref_losses.AdaptiveDiceLoss()(tp, tb)
+        ours, m = losses.adaptive_dice_loss(pred, batch)
+        assert np.isclose(float(ours), float(ref_loss), rtol=1e-5)
+        assert np.isclose(float(m["main_loss"]), float(ref_m["main_loss"]), rtol=1e-5)
+
+    def test_l1_dice(self, ref_losses):
+        rng = np.random.default_rng(12)
+        pred, batch = _batch(rng)
+        tp, tb = _to_torch(pred, batch)
+        ref_loss, _ = ref_losses.L1DiceLoss()(tp, tb)
+        ours, _ = losses.l1_dice_loss(pred, batch)
+        assert np.isclose(float(ours), float(ref_loss), rtol=1e-4, atol=1e-5)
+
+    def test_full_l1_dice(self, ref_losses):
+        rng = np.random.default_rng(13)
+        pred, batch = _batch(rng)
+        tp, tb = _to_torch(pred, batch)
+        ref_loss, _ = ref_losses.FullL1DiceLoss()(tp, tb)
+        ours, _ = losses.full_l1_dice_loss(pred, batch)
+        assert np.isclose(float(ours), float(ref_loss), rtol=1e-4, atol=1e-5)
+
+
+def _instance_batch(rng, n=2, h=24, w=32):
+    """Structured maps with distinct text-instance blobs."""
+    gt = np.zeros((n, h, w, 1), np.float32)
+    pred = np.zeros((n, h, w, 1), np.float32)
+    for b in range(n):
+        for _ in range(3):
+            y, x = int(rng.integers(0, h - 8)), int(rng.integers(0, w - 10))
+            gt[b, y:y + 6, x:x + 8, 0] = 1.0
+            # overlapping-but-shifted prediction blob
+            pred[b, y + 1:y + 7, x + 1:x + 9, 0] = float(rng.uniform(0.6, 0.95))
+    pred += rng.random(pred.shape, dtype=np.float32) * 0.15
+    pred = np.clip(pred, 0.0, 0.99)
+    full = {
+        "binary": pred,
+        "thresh": rng.random((n, h, w, 1), dtype=np.float32),
+        "thresh_binary": np.clip(
+            pred + rng.random(pred.shape, dtype=np.float32) * 0.1, 0, 0.99),
+    }
+    batch = {
+        "gt": gt,
+        "mask": np.ones((n, h, w), np.float32),
+        "thresh_map": rng.random((n, h, w), dtype=np.float32),
+        "thresh_mask": np.ones((n, h, w), np.float32),
+    }
+    return full, batch
+
+
+@pytest.fixture()
+def _cpu_cuda_sync(monkeypatch):
+    """Make the reference InstanceDiceLoss runnable for the golden:
+
+    * it calls torch.cuda.synchronize() unconditionally (dice_loss.py:133)
+      — stub for CPU-only torch;
+    * it calls self._compute(pred, gt, mask) without the required
+      ``weights`` arg (dice_loss.py:149,156,171 vs the 4-arg _compute at
+      :28), so the reference CRASHES whenever any instance exists —
+      another latent reference defect (documented in PARITY.md); bind
+      weights=None to express the intended semantics.
+    """
+    import importlib
+
+    import torch
+
+    monkeypatch.setattr(torch.cuda, "synchronize", lambda *a, **k: None)
+    ref_dice = importlib.import_module("ocrfa.DBNet.decoders.dice_loss")
+    orig = ref_dice.DiceLoss._compute
+    monkeypatch.setattr(
+        ref_dice.DiceLoss, "_compute",
+        lambda self, pred, gt, mask, weights=None: orig(
+            self, pred, gt, mask, weights))
+
+
+class TestInstanceDice:
+    def test_instance_dice(self, ref_losses, _cpu_cuda_sync):
+        import importlib
+
+        import torch
+
+        ref_dice = importlib.import_module("ocrfa.DBNet.decoders.dice_loss")
+        rng = np.random.default_rng(21)
+        pred, batch = _instance_batch(rng)
+        tp, tb = _to_torch(pred, batch)
+        ref_loss = ref_dice.InstanceDiceLoss()(
+            tp["binary"], tb["gt"], tb["mask"])
+        ours = losses.instance_dice_loss(
+            pred["binary"], batch["gt"], batch["mask"])
+        ref_val = float(ref_loss) if torch.is_tensor(ref_loss) else ref_loss
+        assert np.isclose(float(ours), ref_val, rtol=1e-4, atol=1e-5)
+
+    def test_adaptive_instance_dice(self, ref_losses, _cpu_cuda_sync):
+        rng = np.random.default_rng(22)
+        pred, batch = _instance_batch(rng)
+        tp, tb = _to_torch(pred, batch)
+        ref_loss, ref_m = ref_losses.AdaptiveInstanceDiceLoss()(tp, tb)
+        ours, m = losses.adaptive_instance_dice_loss(pred, batch)
+        assert np.isclose(float(ours), float(ref_loss), rtol=1e-4, atol=1e-5)
+        for key in ("main_loss", "thresh_loss", "main_instance_loss",
+                    "thresh_instance_loss"):
+            assert np.isclose(float(m[key]), _val(ref_m[key]),
+                              rtol=1e-4, atol=1e-5), key
+
+
+def _val(x):
+    import torch
+
+    return float(x) if torch.is_tensor(x) else float(x)
+
+
+class TestPSSLoss:
+    @pytest.fixture(scope="class")
+    def ref_pss(self, ref_utils):
+        import importlib
+
+        return importlib.import_module("ocrfa.DBNet.decoders.pss_loss")
+
+    def _maps(self, rng, n=2, c=4, h=16, w=20, pos=0.85):
+        import torch
+
+        pred = (rng.random((n, c, h, w), dtype=np.float32) * 0.9
+                + 0.05).astype(np.float32)
+        gt = (rng.random((n, c, h, w)) > pos).astype(np.float32)
+        gt[0, :, 2, 2] = 1.0  # wbce_orig asserts max(gt) == 1
+        mask = (rng.random((n, h, w)) > 0.1).astype(np.float32)
+        return (pred, gt, mask,
+                torch.from_numpy(pred), torch.from_numpy(gt),
+                torch.from_numpy(mask))
+
+    @pytest.mark.parametrize("crit", ["dice", "dice_ohnm", "focal", "bce",
+                                      "wbce", "dice_bce", "dice_ohnm_bce"])
+    def test_criteria_shrink(self, ref_pss, crit):
+        rng = np.random.default_rng(hash(crit) % 2**31)
+        pred, gt, mask, tp, tg, tm = self._maps(rng)
+        ref = ref_pss.PSS_Loss(crit)(tp, tg, tm, gt_type="shrink")
+        ours = losses.pss_loss(pred, gt, mask, cls_loss=crit,
+                               gt_type="shrink")
+        assert np.isclose(float(ours), _val(ref), rtol=1e-4, atol=1e-5)
+
+    def test_gt_type_pss(self, ref_pss):
+        rng = np.random.default_rng(31)
+        pred, gt, mask, tp, tg, tm = self._maps(rng, c=4)
+        gt5 = np.concatenate([gt, gt.max(axis=1, keepdims=True)], axis=1)
+        import torch
+
+        ref = ref_pss.PSS_Loss("dice")(tp, torch.from_numpy(gt5), tm,
+                                       gt_type="pss")
+        ours = losses.pss_loss(pred, gt5, mask, cls_loss="dice",
+                               gt_type="pss")
+        assert np.isclose(float(ours), _val(ref), rtol=1e-4)
+
+    def test_gt_type_both(self, ref_pss):
+        rng = np.random.default_rng(32)
+        pred, gt, mask, tp, tg, tm = self._maps(rng, c=5)
+        gt6 = np.concatenate([gt, gt[:, :1]], axis=1)
+        import torch
+
+        ref_pss_l, ref_shrink = ref_pss.PSS_Loss("dice")(
+            tp, torch.from_numpy(gt6), tm, gt_type="both")
+        ours_pss, ours_shrink = losses.pss_loss(pred, gt6, mask,
+                                                cls_loss="dice",
+                                                gt_type="both")
+        assert np.isclose(float(ours_pss), _val(ref_pss_l), rtol=1e-4)
+        assert np.isclose(float(ours_shrink), _val(ref_shrink), rtol=1e-4)

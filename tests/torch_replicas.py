@@ -43,8 +43,9 @@ class BlockB(nn.Module):
 class RefResNet(nn.Module):
     """Recognition ResNet, layers [1, 2, 5, 3] (blocks.py:226-391)."""
 
-    def __init__(self, input_channel, output_channel):
+    def __init__(self, input_channel, output_channel, w8=False):
         super().__init__()
+        self.w8 = w8  # gen1w8 serving variant: /8 pool strides width too
         oc = [output_channel // 4, output_channel // 2, output_channel, output_channel]
         self.inplanes = output_channel // 8
         self.conv0_1 = nn.Conv2d(input_channel, output_channel // 16, 3, 1, 1, bias=False)
@@ -63,7 +64,7 @@ class RefResNet(nn.Module):
         self.conv2 = nn.Conv2d(oc[1], oc[1], 3, 1, 1, bias=False)
         self.bn2 = nn.BatchNorm2d(oc[1])
 
-        self.max_pool3 = nn.MaxPool2d(2, (2, 1), (0, 1))
+        self.max_pool3 = nn.MaxPool2d(2, (2, 2 if w8 else 1), (0, 1))
         self.layer3 = self._make_layer(oc[2], 5)
         self.conv3 = nn.Conv2d(oc[2], oc[2], 3, 1, 1, bias=False)
         self.bn3 = nn.BatchNorm2d(oc[2])
@@ -108,9 +109,11 @@ class _FeatWrap(nn.Module):
 class Gen1Model(nn.Module):
     """gen1 ``Model`` replica (blocks.py:422-447)."""
 
-    def __init__(self, num_class, input_channel=1, output_channel=512, hidden_size=512):
+    def __init__(self, num_class, input_channel=1, output_channel=512,
+                 hidden_size=512, w8=False):
         super().__init__()
-        self.FeatureExtraction = _FeatWrap(RefResNet(input_channel, output_channel))
+        self.FeatureExtraction = _FeatWrap(
+            RefResNet(input_channel, output_channel, w8=w8))
         self.AdaptiveAvgPool = nn.AdaptiveAvgPool2d((None, 1))
         self.SequenceModeling = nn.Sequential(
             BidirectionalLSTM(output_channel, hidden_size, hidden_size),
