@@ -15,6 +15,8 @@ LSTM weights keep torch layout (see :mod:`ocrfa_tpu.ops.lstm`).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -420,29 +422,28 @@ def export_dbnet(params, backbone: str = "resnet18",
     sd = {}
     bb = params["backbone"]
     if backbone.startswith("mobilenetv3"):
-        raise NotImplementedError(
-            "mobilenetv3 export not implemented (no reference checkpoint "
-            "consumes it; convert direction only)")
-    layers = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}[backbone]
+        sd.update(export_mobilenetv3(bb))
+    else:
+        layers = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}[backbone]
 
-    _put_conv(sd, "backbone.conv1", bb["conv1"])
-    _put_bn(sd, "backbone.bn1", bb["bn1"])
-    for li, n in enumerate(layers, start=1):
-        for i in range(n):
-            bp = bb[f"layer{li}"][i]
-            prefix = f"backbone.layer{li}.{i}"
-            _put_conv(sd, prefix + ".conv1", bp["conv1"])
-            _put_bn(sd, prefix + ".bn1", bp["bn1"])
-            _put_conv(sd, prefix + ".conv2", bp["conv2"])
-            _put_bn(sd, prefix + ".bn2", bp["bn2"])
-            if "conv2_offset" in bp:
-                _put_conv(sd, prefix + ".conv2_offset", bp["conv2_offset"])
-            if "conv3" in bp:
-                _put_conv(sd, prefix + ".conv3", bp["conv3"])
-                _put_bn(sd, prefix + ".bn3", bp["bn3"])
-            if "downsample" in bp:
-                _put_conv(sd, prefix + ".downsample.0", bp["downsample"]["conv"])
-                _put_bn(sd, prefix + ".downsample.1", bp["downsample"]["bn"])
+        _put_conv(sd, "backbone.conv1", bb["conv1"])
+        _put_bn(sd, "backbone.bn1", bb["bn1"])
+        for li, n in enumerate(layers, start=1):
+            for i in range(n):
+                bp = bb[f"layer{li}"][i]
+                prefix = f"backbone.layer{li}.{i}"
+                _put_conv(sd, prefix + ".conv1", bp["conv1"])
+                _put_bn(sd, prefix + ".bn1", bp["bn1"])
+                _put_conv(sd, prefix + ".conv2", bp["conv2"])
+                _put_bn(sd, prefix + ".bn2", bp["bn2"])
+                if "conv2_offset" in bp:
+                    _put_conv(sd, prefix + ".conv2_offset", bp["conv2_offset"])
+                if "conv3" in bp:
+                    _put_conv(sd, prefix + ".conv3", bp["conv3"])
+                    _put_bn(sd, prefix + ".bn3", bp["bn3"])
+                if "downsample" in bp:
+                    _put_conv(sd, prefix + ".downsample.0", bp["downsample"]["conv"])
+                    _put_bn(sd, prefix + ".downsample.1", bp["downsample"]["bn"])
 
     dec = params["decoder"]
 
@@ -525,6 +526,35 @@ def convert_mobilenetv3(sd: dict, mode: str = "large") -> dict:
     return p
 
 
+def export_mobilenetv3(p: dict) -> dict:
+    """mobilenetv3 backbone params -> reference-keyed torch state dict.
+
+    Exact inverse of :func:`convert_mobilenetv3` (large/small is implicit
+    in ``len(p["blocks"])``); key layout per backbones/mobilenetv3.py:120-197.
+    """
+    sd = {}
+    _put_conv(sd, "backbone.features.0.0", p["stem"])
+    _put_bn(sd, "backbone.features.0.1", p["stem_bn"])
+    for i, blk in enumerate(p["blocks"], start=1):
+        base = f"backbone.features.{i}.conv"
+        _put_conv(sd, base + ".0", blk["pw"])
+        _put_bn(sd, base + ".1", blk["pw_bn"])
+        _put_conv(sd, base + ".3", blk["dw"])
+        _put_bn(sd, base + ".4", blk["dw_bn"])
+        if "se" in blk:
+            # right-multiplied (in, out) -> torch Linear (out, in)
+            sd[base + ".5.fc.0.weight"] = np.transpose(
+                _to_numpy(blk["se"]["fc1"]))
+            sd[base + ".5.fc.2.weight"] = np.transpose(
+                _to_numpy(blk["se"]["fc2"]))
+        _put_conv(sd, base + ".7", blk["pw2"])
+        _put_bn(sd, base + ".8", blk["pw2_bn"])
+    n = len(p["blocks"])
+    _put_conv(sd, f"backbone.features.{n + 1}.0", p["last"])
+    _put_bn(sd, f"backbone.features.{n + 1}.1", p["last_bn"])
+    return sd
+
+
 # ---------------------------------------------------------------------------
 # Orbax persistence
 
@@ -568,13 +598,26 @@ DETECTOR_KIND_ALIASES = {
 }
 
 
+_BLOB_CACHE: dict = {}
+
+
 def _load_blob(path: str) -> dict:
+    # server startup reads the same pickle for params, then again for
+    # calibration batches; a 1-entry mtime/size-keyed cache makes the
+    # second read free without changing any caller signature
     import pickle
 
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    cached = _BLOB_CACHE.get(key)
+    if cached is not None:
+        return cached
     with open(path, "rb") as f:
         blob = pickle.load(f)
     if "params" not in blob:
         raise ValueError(f"{path}: not a trained blob (no 'params' key)")
+    _BLOB_CACHE.clear()
+    _BLOB_CACHE[key] = blob
     return blob
 
 
@@ -656,5 +699,5 @@ def build_recognizer_from_blob(path: str, default_charset: str | None = None):
     else:
         from ocrfa_tpu.pipeline import Recognizer
 
-        rec = Recognizer(params, conv)
+        rec = Recognizer(params, conv, variant=meta.get("variant", "gen1"))
     return rec, charset, meta

@@ -22,6 +22,7 @@ from __future__ import annotations
 import collections
 import io
 import json
+import math
 import queue
 import threading
 import time
@@ -61,8 +62,12 @@ class PipelineDispatcher:
         self.stats = {"pages": 0, "batches": 0, "batched_pages": 0,
                       "errors": 0}
         # queue-to-result wall time of the last 1024 pages, for the
-        # /metrics latency quantiles (bounded: old samples age out)
+        # /metrics latency quantiles (bounded: old samples age out).
+        # Appends happen on the dispatcher thread while /metrics snapshots
+        # on handler threads — CPython raises "deque mutated during
+        # iteration" without the lock.
         self._latencies: collections.deque = collections.deque(maxlen=1024)
+        self._lat_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -87,15 +92,22 @@ class PipelineDispatcher:
         if error is not None:
             self.stats["errors"] += 1
         else:
-            self._latencies.append(time.perf_counter() - job.t_submit)
+            with self._lat_lock:
+                self._latencies.append(time.perf_counter() - job.t_submit)
         job.event.set()
 
     def metrics(self) -> dict:
         """Snapshot counters + latency quantiles for the /metrics endpoint."""
-        lat = sorted(self._latencies)
+        with self._lat_lock:
+            lat = sorted(self._latencies)
 
         def q(p):
-            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+            # nearest-rank: ceil(p*n)-1 (int(p*n) returns the max sample
+            # for p95/p99 at small n)
+            if not lat:
+                return 0.0
+            rank = math.ceil(p * len(lat)) - 1
+            return lat[min(len(lat) - 1, max(0, rank))]
 
         return {**self.stats, "queued": self.qsize(),
                 "latency_samples": len(lat),
@@ -229,6 +241,8 @@ def make_handler(dispatcher: PipelineDispatcher, auth=None):
                 # scrapers don't carry API keys)
                 m = dispatcher.metrics()
                 lines = []
+                # counters carry the conventional _total suffix (promtool
+                # lint + rate() recording-rule conventions)
                 for key, kind in (("pages", "counter"),
                                   ("batches", "counter"),
                                   ("batched_pages", "counter"),
@@ -238,8 +252,9 @@ def make_handler(dispatcher: PipelineDispatcher, auth=None):
                                   ("latency_p50_s", "gauge"),
                                   ("latency_p95_s", "gauge"),
                                   ("latency_p99_s", "gauge")):
-                    lines.append(f"# TYPE ocrfa_{key} {kind}")
-                    lines.append(f"ocrfa_{key} {m[key]}")
+                    name = f"ocrfa_{key}_total" if kind == "counter" else f"ocrfa_{key}"
+                    lines.append(f"# TYPE {name} {kind}")
+                    lines.append(f"{name} {m[key]}")
                 data = ("\n".join(lines) + "\n").encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type",
@@ -348,6 +363,7 @@ def build_pipeline_from_args(args):
     if rec_params is None:
         rec_params = init_crnn_gen1(jax.random.PRNGKey(0),
                                     num_class=conv.num_classes)
+    rec_variant = rec_meta.get("variant", "gen1")
     quantize = getattr(args, "quantize", "none") or "none"
     if quantize == "static":
         # the serving fast path (bench.py numerics): activation scales from,
@@ -363,14 +379,30 @@ def build_pipeline_from_args(args):
         if amax is None and not batches:
             from ocrfa_tpu.data import SyntheticFarsiLines
 
+            if getattr(args, "recognizer_pickle", None):
+                # synthetic glyph renders differ substantially from the
+                # realfont distribution a trained blob saw, so amax scales
+                # calibrated on them can clip/underscale silently — the
+                # int8 path may NOT match the trained model's accuracy
+                import logging
+
+                logging.getLogger("ocrfa_tpu.server").warning(
+                    "quantize=static: blob %s has no calibration batches "
+                    "or meta['act_amax']; falling back to SYNTHETIC render "
+                    "calibration. int8 activation scales may not match the "
+                    "trained distribution — re-save the blob with "
+                    "calibration data (eval_farsi --save-params) for "
+                    "production use.", args.recognizer_pickle)
             ds = SyntheticFarsiLines(chars, batch_size=64, width=256)
             batches = [ds.batch()[0] for _ in range(2)]
-        recognizer = Recognizer(rec_params, conv, quantized="static",
-                                act_amax=amax, calibration_batches=batches)
+        recognizer = Recognizer(rec_params, conv, variant=rec_variant,
+                                quantized="static", act_amax=amax,
+                                calibration_batches=batches)
     elif quantize == "dynamic":
-        recognizer = Recognizer(rec_params, conv, quantized="dynamic")
+        recognizer = Recognizer(rec_params, conv, variant=rec_variant,
+                                quantized="dynamic")
     else:
-        recognizer = Recognizer(rec_params, conv)
+        recognizer = Recognizer(rec_params, conv, variant=rec_variant)
 
     det_params, det_kind = None, "craft"
     if getattr(args, "detector_pickle", None):

@@ -751,6 +751,19 @@ def main():
     # ---- serving fast path: ribbon wire + static int8 ---------------------
     fast = Recognizer(params, conv, variant=variant, quantized="static",
                       calibration_batches=[calib_batches[0][:64]])
+    if args.save_params and fast.act_amax is not None:
+        # persist the calibrated int8 activation scales into the blob meta
+        # (server.py quantize=static reads meta['act_amax'] and skips
+        # startup calibration entirely — and never falls back to the
+        # synthetic-render scales ADVICE flagged)
+        import pickle
+
+        with open(args.save_params, "rb") as f:
+            blob = pickle.load(f)
+        blob["meta"]["act_amax"] = fast.act_amax
+        with open(args.save_params + ".tmp", "wb") as f:
+            pickle.dump(blob, f)
+        os.replace(args.save_params + ".tmp", args.save_params)
     keep = keep_mask_for(conv.num_classes, conv.ignore_idx)
     fast_res = fast.collect(fast.predict_ribbon_async(crops, keep, out_w=max_width))
     fast_texts = [t for t, _ in fast_res]

@@ -180,3 +180,33 @@ class TestExportDBNet:
         params = init_dbnet(jax.random.PRNGKey(9), backbone="resnet18")
         sd = export_dbnet(params, data_parallel_prefix=True)
         assert all(k.startswith("model.module.") for k in sd)
+
+    def test_mobilenetv3_large_roundtrip(self):
+        import jax
+
+        from ocrfa_tpu.models.dbnet import init_dbnet
+
+        params = init_dbnet(jax.random.PRNGKey(10),
+                            backbone="mobilenetv3_large")
+        self._roundtrip(params, "mobilenetv3_large")
+
+    def test_mobilenetv3_small_roundtrip_and_torch_load(self):
+        """convert -> export -> convert identity AND the exported backbone
+        loads strict into the same torch replica the convert tests use."""
+        import jax
+        import numpy as np
+        import torch
+
+        from ocrfa_tpu.models.dbnet import init_dbnet
+        from torch_replicas import MobileNetV3Ref
+
+        params = init_dbnet(jax.random.PRNGKey(11),
+                            backbone="mobilenetv3_small")
+        sd = self._roundtrip(params, "mobilenetv3_small")
+        model = MobileNetV3Ref(mode="small")
+        bb = {k[len("backbone."):]: torch.from_numpy(np.array(v))
+              for k, v in sd.items() if k.startswith("backbone.")}
+        missing, unexpected = model.load_state_dict(bb, strict=False)
+        missing = [m for m in missing if "num_batches_tracked" not in m]
+        assert not missing, missing
+        assert not unexpected, unexpected

@@ -318,12 +318,13 @@ class TestMetricsEndpoint:
             if line and not line.startswith("#"):
                 name, val = line.split()
                 values[name] = float(val)
-        assert values["ocrfa_pages"] >= 1
-        assert values["ocrfa_errors"] == 0
+        # counters carry the conventional _total suffix (promtool lint)
+        assert values["ocrfa_pages_total"] >= 1
+        assert values["ocrfa_errors_total"] == 0
         assert values["ocrfa_latency_samples"] >= 1
         assert values["ocrfa_latency_p50_s"] > 0
         assert values["ocrfa_latency_p95_s"] >= values["ocrfa_latency_p50_s"]
-        assert "# TYPE ocrfa_pages counter" in text
+        assert "# TYPE ocrfa_pages_total counter" in text
         assert "# TYPE ocrfa_queued gauge" in text
 
     def test_error_counter_and_quantiles(self):
