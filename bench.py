@@ -39,8 +39,14 @@ import os
 N_LINES = 4096          # corpus size per measurement window
 CHUNK = int(os.environ.get("BENCH_CHUNK", "512"))   # device batch/dispatch
 DEPTH = int(os.environ.get("BENCH_DEPTH", "8"))     # in-flight dispatches
+# serving tower: gen1w8 (width-strided /8 pool, ~0.61x tower FLOPs, same
+# param tree — models/crnn.py) is the serving default; BENCH_VARIANT=gen1
+# benches the stock reference-parity tower
+VARIANT = os.environ.get("BENCH_VARIANT", "gen1w8")
 WINDOWS = 5
-CONV_GFLOP_PER_LINE_W256 = 50.8  # bf16-equivalent tower FLOPs at bucket 256
+# bf16-equivalent tower FLOPs at bucket 256: 50.8 GFLOP stock; gen1w8 runs
+# layer3/4 (78% of tower FLOPs, CLAUDE.md) at half width -> x0.61
+CONV_GFLOP_PER_LINE_W256 = 50.8 * (0.61 if VARIANT == "gen1w8" else 1.0)
 
 
 def make_corpus(rng, n):
@@ -112,8 +118,8 @@ def main():
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=converter.num_classes)
     calib = ((rng.integers(0, 255, (128, 64, 256, 1)) / 255.0 - 0.5) / 0.5
              ).astype(np.float32)
-    recognizer = Recognizer(params, converter, quantized="static",
-                            calibration_batches=[calib])
+    recognizer = Recognizer(params, converter, variant=VARIANT,
+                            quantized="static", calibration_batches=[calib])
     keep_mask = keep_mask_for(converter.num_classes, converter.ignore_idx)
 
     crops = make_corpus(rng, N_LINES)
@@ -209,6 +215,7 @@ def main():
     print(json.dumps({
         "metric": "textline_images_per_sec_per_chip",
         "value": round(value, 1),
+        "variant": VARIANT,
         "unit": "img/s/chip",
         "vs_baseline": round(value / BASELINE_LINES_PER_SEC, 3),
         "headline_wire": headline_wire,

@@ -49,3 +49,52 @@ class TestModulatedDeformConv:
             modulated_deform_conv(x, offset, np.zeros_like(mask), w)
         )
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+class TestBoundedDeformConv:
+    """Dense-shift formulation == gather formulation once offsets fit ±R."""
+
+    @pytest.mark.parametrize("stride,radius", [(1, 2), (2, 2), (1, 1)])
+    def test_matches_gather_when_bounded(self, stride, radius):
+        from ocrfa_tpu.ops.deform_conv import modulated_deform_conv_bounded
+
+        rng = np.random.default_rng(10 * stride + radius)
+        x, offset, mask, w = _rand_case(rng, h=8, w=9, stride=stride)
+        offset = np.clip(offset, -radius, radius)
+        ref = np.asarray(modulated_deform_conv(
+            x, offset, mask, w, stride=stride, padding=1))
+        ours = np.asarray(modulated_deform_conv_bounded(
+            x, offset, mask, w, stride=stride, padding=1, radius=radius))
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+    def test_clamps_oversized_offsets(self):
+        from ocrfa_tpu.ops.deform_conv import modulated_deform_conv_bounded
+
+        rng = np.random.default_rng(7)
+        x, offset, mask, w = _rand_case(rng)
+        offset = offset * 4.0  # well past the radius
+        ref = np.asarray(modulated_deform_conv(
+            x, np.clip(offset, -2, 2), mask, w, padding=1))
+        ours = np.asarray(modulated_deform_conv_bounded(
+            x, offset, mask, w, padding=1, radius=2))
+        np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
+
+    def test_bias_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.ops.deform_conv import modulated_deform_conv_bounded
+
+        rng = np.random.default_rng(8)
+        x, offset, mask, w = _rand_case(rng)
+        b = rng.standard_normal(4).astype(np.float32)
+
+        def loss(w_, off_):
+            return jnp.sum(modulated_deform_conv_bounded(
+                x, off_, mask, w_, b=b, padding=1) ** 2)
+
+        gw, goff = jax.grad(loss, argnums=(0, 1))(jnp.asarray(w),
+                                                  jnp.asarray(offset))
+        assert np.isfinite(np.asarray(gw)).all()
+        assert np.isfinite(np.asarray(goff)).all()
+        assert float(jnp.abs(goff).sum()) > 0  # offsets get gradient
