@@ -157,9 +157,19 @@ def _init_block(rng, cin, cout, downsample: bool):
 
 
 def init_crnn_gen1(rng, num_class: int, input_channel: int = 1,
-                   output_channel: int = 512, hidden_size: int = 512):
-    """Random gen1 parameters (layers [1, 2, 5, 3], blocks.py:189)."""
-    oc = [output_channel // 4, output_channel // 2, output_channel, output_channel]
+                   output_channel: int = 512, hidden_size: int = 512,
+                   late_channel: int = None):
+    """Random gen1 parameters (layers [1, 2, 5, 3], blocks.py:189).
+
+    ``late_channel`` thins ONLY layer3/layer4 (78% of tower FLOPs,
+    CLAUDE.md) while layer1/2 keep the stock widths — the serving FLOP-cut
+    axis that preserves the CTC sequence resolution (T = W/4+1), unlike
+    ``gen1w8``'s width stride.  ``late_channel=384`` ≈ 0.66x tower FLOPs.
+    The apply path is shape-agnostic, so every variant="gen1" consumer
+    (bf16, dynamic/static int8, converters) runs a thin tower unchanged.
+    """
+    oc = [output_channel // 4, output_channel // 2,
+          late_channel or output_channel, late_channel or output_channel]
     inplanes = output_channel // 8
     keys = iter(jax.random.split(rng, 64))
 
@@ -190,7 +200,7 @@ def init_crnn_gen1(rng, num_class: int, input_channel: int = 1,
     }
     return {
         "feat": feat,
-        "seq0": {**init_lstm(next(keys), output_channel, hidden_size),
+        "seq0": {**init_lstm(next(keys), oc[3], hidden_size),
                  **_lstm_linear(next(keys), hidden_size)},
         "seq1": {**init_lstm(next(keys), hidden_size, hidden_size),
                  **_lstm_linear(next(keys), hidden_size)},

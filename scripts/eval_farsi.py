@@ -118,7 +118,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                reuse=24, buffer_batches=64, ignite_batches=5,
                snapshot_path=None, snap_every=2000,
                renderer=None, ladder_samplers=None, ema_decay=None,
-               init_params=None, warm_start=False, variant="gen1"):
+               init_params=None, warm_start=False, variant="gen1",
+               late_channel=None):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -362,7 +363,8 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
     else:
         params = init_crnn_gen1(jax.random.PRNGKey(0),
                                 num_class=conv.num_classes,
-                                output_channel=oc, hidden_size=hs)
+                                output_channel=oc, hidden_size=hs,
+                                late_channel=late_channel)
     # full LR through ignition/ladder (lock-in needs it), then a cosine
     # tail over the last 30%: re-fitting each fresh buffer batch (the
     # memorization channel) needs large steps, while the glyph-grounded
@@ -605,6 +607,10 @@ def main():
                     help="override output_channel (tower width; default 512)")
     ap.add_argument("--hs", type=int, default=None,
                     help="override LSTM hidden size (default 512)")
+    ap.add_argument("--late-channel", type=int, default=None,
+                    help="thin ONLY layer3/4 (78%% of tower FLOPs) to this "
+                         "width, keeping T = W/4+1 — the gen1t serving "
+                         "variant (e.g. 384 = ~0.66x tower FLOPs)")
     ap.add_argument("--realfont", action="store_true",
                     help="train/eval on REAL shaped Farsi typography "
                          "(PIL+libraqm + DejaVu Sans: contextual letterforms, "
@@ -655,12 +661,14 @@ def main():
         oc = hs = 512
     oc = args.oc or oc
     hs = args.hs or hs
+    late_channel = args.late_channel
     variant = args.variant
     if args.load_params:
         params, conv, font, loss, calib_batches, meta = load_trained(
             args.load_params)
         charset, oc, hs, glyph_w = (meta["charset"], meta["oc"], meta["hs"],
                                     meta["glyph_w"])
+        late_channel = meta.get("late_channel", late_channel)
         args.steps = meta["steps"]
         args.realfont = bool(meta.get("realfont", args.realfont))
         args.font_mix = bool(meta.get("font_mix", args.font_mix))
@@ -675,6 +683,7 @@ def main():
         args.realfont = bool(cmeta.get("realfont", args.realfont))
         args.font_mix = bool(cmeta.get("font_mix", args.font_mix))
         variant = cmeta.get("variant", variant)
+        late_channel = cmeta.get("late_channel", late_channel)
         if "realfont" not in cmeta and not args.realfont:
             # snapshots predating the realfont meta keys can't say which
             # renderer trained them; continuing a shaped-typography model
@@ -712,13 +721,14 @@ def main():
                            if args.save_params else None),
             ema_decay=(args.ema or None),
             init_params=init_params, warm_start=init_params is not None,
-            variant=variant, **extra)
+            variant=variant, late_channel=late_channel, **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,
                           steps=prev_steps + args.steps,
                           realfont=bool(args.realfont),
-                          font_mix=bool(args.font_mix), variant=variant))
+                          font_mix=bool(args.font_mix), variant=variant,
+                          late_channel=late_channel))
     rng = np.random.default_rng(99)  # separate stream from training
 
     # ---- eval set (held out) ----------------------------------------------
@@ -786,7 +796,8 @@ def main():
     # uses OUR replica with the matching pool stride (same state-dict keys),
     # so cross-framework numerics stay checkable for every variant
     model = Gen1Model(num_class=conv.num_classes, output_channel=oc,
-                      hidden_size=hs, w8=variant == "gen1w8").eval()
+                      hidden_size=hs, w8=variant == "gen1w8",
+                      late_channel=late_channel).eval()
     model.load_state_dict({k: torch.from_numpy(np.array(v))
                            for k, v in export_crnn_gen1(params).items()},
                           strict=True)
@@ -802,7 +813,9 @@ def main():
     exact = float(np.mean([a == b for a, b in zip(ours_texts, ref_texts)]))
     metrics = {
         "eval_lines": len(eval_texts),
-        "model": f"{variant} {oc}/{hs}, {len(charset)}-char charset",
+        "model": (f"{variant} {oc}/{hs}"
+                  + (f" late{late_channel}" if late_channel else "")
+                  + f", {len(charset)}-char charset"),
         "text_source": ((f"shaped DejaVu Sans{' +Bold mix' if args.font_mix else ''}"
                          f" (real typography, {len(text_charset)}-char RTL subset)")
                         if args.realfont else "blob glyph stamps"),

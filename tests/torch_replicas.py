@@ -43,10 +43,14 @@ class BlockB(nn.Module):
 class RefResNet(nn.Module):
     """Recognition ResNet, layers [1, 2, 5, 3] (blocks.py:226-391)."""
 
-    def __init__(self, input_channel, output_channel, w8=False):
+    def __init__(self, input_channel, output_channel, w8=False,
+                 late_channel=None):
         super().__init__()
         self.w8 = w8  # gen1w8 serving variant: /8 pool strides width too
-        oc = [output_channel // 4, output_channel // 2, output_channel, output_channel]
+        # late_channel: thin layer3/4 only (the gen1t serving variant,
+        # models/crnn.py init_crnn_gen1)
+        oc = [output_channel // 4, output_channel // 2,
+              late_channel or output_channel, late_channel or output_channel]
         self.inplanes = output_channel // 8
         self.conv0_1 = nn.Conv2d(input_channel, output_channel // 16, 3, 1, 1, bias=False)
         self.bn0_1 = nn.BatchNorm2d(output_channel // 16)
@@ -110,13 +114,15 @@ class Gen1Model(nn.Module):
     """gen1 ``Model`` replica (blocks.py:422-447)."""
 
     def __init__(self, num_class, input_channel=1, output_channel=512,
-                 hidden_size=512, w8=False):
+                 hidden_size=512, w8=False, late_channel=None):
         super().__init__()
         self.FeatureExtraction = _FeatWrap(
-            RefResNet(input_channel, output_channel, w8=w8))
+            RefResNet(input_channel, output_channel, w8=w8,
+                      late_channel=late_channel))
         self.AdaptiveAvgPool = nn.AdaptiveAvgPool2d((None, 1))
         self.SequenceModeling = nn.Sequential(
-            BidirectionalLSTM(output_channel, hidden_size, hidden_size),
+            BidirectionalLSTM(late_channel or output_channel, hidden_size,
+                              hidden_size),
             BidirectionalLSTM(hidden_size, hidden_size, hidden_size),
         )
         self.Prediction = nn.Linear(hidden_size, num_class)
