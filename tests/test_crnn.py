@@ -61,6 +61,39 @@ class TestGen1:
         assert ref_shapes == init_shapes
 
 
+class TestGen1Thin:
+    """late_channel thins layer3/4 only; T = W/4+1 preserved; exact torch
+    parity through the shape-agnostic export path (gen1t serving variant)."""
+
+    def test_forward_parity_and_seq_len(self):
+        import jax
+        import torch
+
+        from tests.torch_replicas import Gen1Model
+
+        params = crnn.init_crnn_gen1(jax.random.PRNGKey(3), num_class=30,
+                                     output_channel=64, hidden_size=64,
+                                     late_channel=48)
+        # layer1/2 keep stock widths, layer3/4 thin
+        assert params["feat"]["layer2"][0]["conv2"]["w"].shape[-1] == 32
+        assert params["feat"]["layer3"][0]["conv2"]["w"].shape[-1] == 48
+        assert params["feat"]["conv4_2"]["w"].shape[-1] == 48
+
+        model = Gen1Model(num_class=30, output_channel=64, hidden_size=64,
+                          late_channel=48).eval()
+        sd = checkpoints.export_crnn_gen1(params)
+        model.load_state_dict(
+            {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+            strict=True)
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 64, 96, 1), dtype=np.float32)
+        with torch.no_grad():
+            ref = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        ours = np.asarray(crnn.crnn_apply(params, x, variant="gen1"))
+        assert ours.shape[1] == crnn.sequence_length(96, "gen1")
+        np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-2)
+
+
 class TestGen2:
     def test_forward_parity(self):
         import torch
