@@ -39,14 +39,16 @@ import os
 N_LINES = 4096          # corpus size per measurement window
 CHUNK = int(os.environ.get("BENCH_CHUNK", "512"))   # device batch/dispatch
 DEPTH = int(os.environ.get("BENCH_DEPTH", "8"))     # in-flight dispatches
-# serving tower: gen1w8 (width-strided /8 pool, ~0.61x tower FLOPs, same
-# param tree — models/crnn.py) is the serving default; BENCH_VARIANT=gen1
-# benches the stock reference-parity tower
-VARIANT = os.environ.get("BENCH_VARIANT", "gen1w8")
+# serving tower (models/crnn.py): gen1w8 = width-strided /8 pool (~0.61x
+# tower FLOPs, T = W/8+1); gen1t384 = layer3/4 thinned to 384ch (~0.66x,
+# T = W/4+1 kept — the CTC-friendlier cut, held CER 0.050 vs w8's 0.061);
+# BENCH_VARIANT=gen1 benches the stock reference-parity tower
+VARIANT = os.environ.get("BENCH_VARIANT", "gen1t384")
 WINDOWS = 5
-# bf16-equivalent tower FLOPs at bucket 256: 50.8 GFLOP stock; gen1w8 runs
-# layer3/4 (78% of tower FLOPs, CLAUDE.md) at half width -> x0.61
-CONV_GFLOP_PER_LINE_W256 = 50.8 * (0.61 if VARIANT == "gen1w8" else 1.0)
+# bf16-equivalent tower FLOPs at bucket 256: 50.8 GFLOP stock; layer3/4 =
+# 78% of tower FLOPs (CLAUDE.md) at half width (w8) or (384/512)^2 (t384)
+CONV_GFLOP_PER_LINE_W256 = 50.8 * {"gen1w8": 0.61, "gen1t384": 0.66}.get(
+    VARIANT, 1.0)
 
 
 def make_corpus(rng, n):
@@ -115,11 +117,15 @@ def main():
 
     chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
     converter = CTCLabelConverter(chars)
-    params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=converter.num_classes)
+    params = init_crnn_gen1(
+        jax.random.PRNGKey(0), num_class=converter.num_classes,
+        late_channel=384 if VARIANT == "gen1t384" else None)
     calib = ((rng.integers(0, 255, (128, 64, 256, 1)) / 255.0 - 0.5) / 0.5
              ).astype(np.float32)
-    recognizer = Recognizer(params, converter, variant=VARIANT,
-                            quantized="static", calibration_batches=[calib])
+    recognizer = Recognizer(
+        params, converter,
+        variant="gen1" if VARIANT == "gen1t384" else VARIANT,
+        quantized="static", calibration_batches=[calib])
     keep_mask = keep_mask_for(converter.num_classes, converter.ignore_idx)
 
     crops = make_corpus(rng, N_LINES)
