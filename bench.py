@@ -110,7 +110,7 @@ def main():
     from ocrfa_tpu.decode.device import keep_mask_for
     from ocrfa_tpu.models.crnn import init_crnn_gen1
     from ocrfa_tpu.pipeline import Recognizer
-    from ocrfa_tpu.preproc.buckets import SERVING_WIDTH_BUCKETS, bucketize
+    from ocrfa_tpu.preproc.buckets import SERVING_WIDTH_BUCKETS, chunk_by_width
     from ocrfa_tpu.registry import RECOGNITION_MODELS
 
     rng = np.random.default_rng(0)
@@ -130,15 +130,12 @@ def main():
 
     crops = make_corpus(rng, N_LINES)
 
-    # bucket crops by needed pad width on the serving ladder, chunk to CHUNK
+    # width-sorted FULL chunks (chunk_by_width): per-bucket chunking left
+    # one ragged dispatch per occupied bucket — ~13% of e2e on this corpus
     need_w = [max(16, int(np.ceil(64 * c.shape[1] / c.shape[0]))) for c in crops]
-    groups = bucketize(need_w, SERVING_WIDTH_BUCKETS)
-    chunks = []  # (crop list, out_w)
-    for out_w, idxs in sorted(groups.items()):
-        # narrow-to-wide order keeps each chunk's ribbon stride tight
-        idxs = sorted(idxs, key=lambda i: crops[i].shape[1])
-        for s in range(0, len(idxs), CHUNK):
-            chunks.append(([crops[i] for i in idxs[s:s + CHUNK]], out_w))
+    chunks = [([crops[i] for i in idxs], out_w)
+              for idxs, out_w in chunk_by_width(need_w, CHUNK,
+                                                SERVING_WIDTH_BUCKETS)]
 
     # wire accounting: actual packed row-ribbon bytes that cross the relay
     from ocrfa_tpu.preproc.ribbon import pack_crops

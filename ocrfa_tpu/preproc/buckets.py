@@ -62,3 +62,24 @@ def bucketize(widths, ladder=WIDTH_BUCKETS) -> dict:
     for i, w in enumerate(widths):
         groups[bucket_for_width(w, ladder)].append(i)
     return dict(groups)
+
+
+def chunk_by_width(widths, chunk: int, ladder=SERVING_WIDTH_BUCKETS):
+    """Width-sorted FULL chunks for corpus-scale serving.
+
+    Per-bucket chunking leaves one partial dispatch per occupied bucket
+    (7 ragged dispatches on a 4k-line aspect-2-8 corpus) — each pays full
+    dispatch overhead for a fraction of the lines.  Sorting the whole
+    corpus by needed width and cutting every ``chunk`` lines instead makes
+    every dispatch full (only the global tail is ragged); each chunk pads
+    to the bucket of its WIDEST line, so the compute cost of promotion is
+    bounded by one ladder step for the chunk-boundary lines.
+
+    Returns ``[(indices, bucket_width), ...]``.
+    """
+    order = sorted(range(len(widths)), key=lambda i: widths[i])
+    out = []
+    for s in range(0, len(order), chunk):
+        idxs = order[s:s + chunk]
+        out.append((idxs, bucket_for_width(widths[idxs[-1]], ladder)))
+    return out

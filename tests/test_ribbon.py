@@ -203,3 +203,33 @@ class TestSubByteWires:
         out8, _ = ribbon_to_batch(*pack_crops([crop], wire="u8"), out_w=128, wire="u8")
         out2, _ = ribbon_to_batch(*pack_crops([crop], wire="u2"), out_w=128, wire="u2")
         np.testing.assert_allclose(np.asarray(out2), np.asarray(out8), atol=1e-6)
+
+
+class TestChunkByWidth:
+    """Width-sorted full-chunk corpus batching (bench/serving pump)."""
+
+    def test_full_chunks_cover_all_indices(self):
+        from ocrfa_tpu.preproc.buckets import (SERVING_WIDTH_BUCKETS,
+                                               chunk_by_width)
+
+        rng = np.random.default_rng(0)
+        widths = rng.integers(80, 520, 1000).tolist()
+        chunks = chunk_by_width(widths, 256, SERVING_WIDTH_BUCKETS)
+        # all but the last chunk are FULL
+        assert [len(ix) for ix, _ in chunks[:-1]] == [256, 256, 256]
+        assert len(chunks[-1][0]) == 1000 - 3 * 256
+        seen = sorted(i for ix, _ in chunks for i in ix)
+        assert seen == list(range(1000))
+
+    def test_bucket_covers_widest_line_and_is_monotone(self):
+        from ocrfa_tpu.preproc.buckets import (SERVING_WIDTH_BUCKETS,
+                                               chunk_by_width)
+
+        rng = np.random.default_rng(1)
+        widths = rng.integers(80, 2000, 500).tolist()
+        chunks = chunk_by_width(widths, 64, SERVING_WIDTH_BUCKETS)
+        prev = 0
+        for idxs, out_w in chunks:
+            assert max(widths[i] for i in idxs) <= out_w
+            assert out_w >= prev  # sorted corpus -> non-decreasing buckets
+            prev = out_w
