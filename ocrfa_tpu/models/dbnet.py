@@ -27,13 +27,16 @@ import jax
 import jax.numpy as jnp
 
 from ocrfa_tpu.models.layers import batch_norm, conv2d, max_pool, relu, resize_bilinear, resize_nearest
-from ocrfa_tpu.ops.deform_conv import modulated_deform_conv
+from ocrfa_tpu.ops.deform_conv import (
+    modulated_deform_conv,
+    modulated_deform_conv_bounded,
+)
 
 # ---------------------------------------------------------------------------
 # backbone
 
 
-def _dcn_conv2(p, x, stride: int = 1):
+def _dcn_conv2(p, x, stride: int = 1, dcn_impl: str = "gather"):
     """conv2_offset -> split offsets/mask -> DCNv2 (backbones/resnet.py:92-96).
 
     NB: the reference's Bottleneck passes a stride to conv2 but not to
@@ -42,21 +45,30 @@ def _dcn_conv2(p, x, stride: int = 1):
     ``dbnet18`` path only uses BasicBlock (stride lives on conv1 there) and
     ``dbnet50`` is not routable (SURVEY.md defect #7).  We compute offsets
     at the output resolution (the mmcv-correct semantics).
+
+    ``dcn_impl``: ``"gather"`` (exact, arbitrary offsets) or
+    ``"bounded<R>"`` (offsets clamped to ±R px, dense-shift formulation —
+    1.4-2.6x faster per stage on TPU, scripts/probe_dcn.py).
     """
     om = conv2d(x, p["conv2_offset"]["w"], p["conv2_offset"]["b"],
                 stride=stride, padding=1)
     offset = om[..., :18]
     mask = jax.nn.sigmoid(om[..., 18:])
+    if dcn_impl.startswith("bounded"):
+        return modulated_deform_conv_bounded(
+            x, offset, mask, p["conv2"]["w"], stride=stride, padding=1,
+            radius=int(dcn_impl[len("bounded"):] or 2))
     return modulated_deform_conv(x, offset, mask, p["conv2"]["w"],
                                  stride=stride, padding=1)
 
 
-def _basic_block(p, x, stride: int = 1, train: bool = False):
+def _basic_block(p, x, stride: int = 1, train: bool = False,
+                 dcn_impl: str = "gather"):
     residual = x
     out = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=stride, padding=1),
                           p["bn1"], train))
     if "conv2_offset" in p:
-        out = _dcn_conv2(p, out)
+        out = _dcn_conv2(p, out, dcn_impl=dcn_impl)
     else:
         out = conv2d(out, p["conv2"]["w"], padding=1)
     out = batch_norm(out, p["bn2"], train)
@@ -68,11 +80,12 @@ def _basic_block(p, x, stride: int = 1, train: bool = False):
     return relu(out + residual)
 
 
-def _bottleneck(p, x, stride: int = 1, train: bool = False):
+def _bottleneck(p, x, stride: int = 1, train: bool = False,
+                dcn_impl: str = "gather"):
     residual = x
     out = relu(batch_norm(conv2d(x, p["conv1"]["w"]), p["bn1"], train))
     if "conv2_offset" in p:
-        out = _dcn_conv2(p, out, stride=stride)
+        out = _dcn_conv2(p, out, stride=stride, dcn_impl=dcn_impl)
     else:
         out = conv2d(out, p["conv2"]["w"], stride=stride, padding=1)
     out = relu(batch_norm(out, p["bn2"], train))
@@ -85,7 +98,8 @@ def _bottleneck(p, x, stride: int = 1, train: bool = False):
     return relu(out + residual)
 
 
-def resnet_backbone(p, x, block: str = "basic", train: bool = False):
+def resnet_backbone(p, x, block: str = "basic", train: bool = False,
+                    dcn_impl: str = "gather"):
     """(N, H, W, 3) -> pyramid (c2 /4, c3 /8, c4 /16, c5 /32)."""
     block_fn = _basic_block if block == "basic" else _bottleneck
     x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3),
@@ -96,9 +110,10 @@ def resnet_backbone(p, x, block: str = "basic", train: bool = False):
     for name in ("layer1", "layer2", "layer3", "layer4"):
         stride = 1 if name == "layer1" else 2
         blocks = p[name]
-        x = block_fn(blocks[0], x, stride=stride, train=train)
+        x = block_fn(blocks[0], x, stride=stride, train=train,
+                     dcn_impl=dcn_impl)
         for bp in blocks[1:]:
-            x = block_fn(bp, x, train=train)
+            x = block_fn(bp, x, train=train, dcn_impl=dcn_impl)
         feats.append(x)
     return tuple(feats)
 
@@ -260,12 +275,18 @@ ARCHS = {
 
 def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
                 bn_train: bool = False, decoder: str = "fpn",
-                attention_type: str = "scale_spatial"):
+                attention_type: str = "scale_spatial",
+                dcn_impl: str = "gather"):
     """BGR-mean-normalised page (N, H, W, 3) -> probability heatmap.
 
     ``backbone``: resnet18/resnet50 (resnet.py) or mobilenetv3_large/
     mobilenetv3_small (backbones/mobilenetv3.py).  ``decoder="asf"``
-    selects the attention decoder (seg_detector_asf.py)."""
+    selects the attention decoder (seg_detector_asf.py).
+
+    ``dcn_impl="bounded2"/"bounded1"`` swaps the deformable convs to the
+    clamped dense-shift formulation (ops/deform_conv.py) — 1.4-2.6x
+    faster per DCN stage on TPU at the cost of clamping offsets to ±R px
+    (exact whenever the trained offsets fit the radius)."""
     if backbone.startswith("mobilenetv3"):
         from ocrfa_tpu.models.mobilenetv3 import mobilenetv3_backbone
 
@@ -274,7 +295,7 @@ def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
     else:
         arch = ARCHS[backbone]
         features = resnet_backbone(params["backbone"], x, block=arch["block"],
-                                   train=bn_train)
+                                   train=bn_train, dcn_impl=dcn_impl)
     if decoder == "asf":
         return seg_detector_asf(params["decoder"], features, training=training,
                                 attention_type=attention_type)

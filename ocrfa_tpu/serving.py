@@ -77,7 +77,7 @@ class ServingPipeline:
                  detector_calibration=None, detector_family: str = "craft",
                  db_backbone: str = "resnet18", db_min_size: int = 640,
                  db_threshold: float = 0.2, db_bbox_min_score: float = 0.2,
-                 db_bbox_min_size: int = 3):
+                 db_bbox_min_size: int = 3, db_dcn_impl: str = "gather"):
         """``mesh``: replicate detector/recognizer params across a device
         mesh; page batches submitted via :meth:`submit_page_batch` then
         shard along the data axis.
@@ -115,6 +115,10 @@ class ServingPipeline:
             self.db_threshold = db_threshold
             self.db_bbox_min_score = db_bbox_min_score
             self.db_bbox_min_size = db_bbox_min_size
+            # "bounded2"/"bounded1": clamped dense-shift DCN, 1.4-2.6x
+            # faster per stage on TPU (scripts/probe_dcn.py); "gather" is
+            # the exact reference-parity path
+            self.db_dcn_impl = db_dcn_impl
             self._init_dbnet(detector_params, db_backbone)
             return
         if detector_family != "craft":
@@ -194,7 +198,8 @@ class ServingPipeline:
             bgr = jnp.broadcast_to(resized[..., None], (*canvas_hw, 3))
             x = (bgr - bgr_mean) / 255.0
             prob = dbnet_apply(params, x[None], backbone=backbone,
-                               decoder=decoder, attention_type=attn)[0, ..., 0]
+                               decoder=decoder, attention_type=attn,
+                               dcn_impl=self.db_dcn_impl)[0, ..., 0]
             return seeds(prob)
 
         self._detect = jax.jit(_detect, static_argnames=("canvas_hw",))
@@ -207,7 +212,8 @@ class ServingPipeline:
             bgr = jnp.broadcast_to(resized[..., None], (n, *canvas_hw, 3))
             x = (bgr - bgr_mean) / 255.0
             prob = dbnet_apply(params, x, backbone=backbone,
-                               decoder=decoder, attention_type=attn)[..., 0]
+                               decoder=decoder, attention_type=attn,
+                               dcn_impl=self.db_dcn_impl)[..., 0]
             return seeds(prob)
 
         self._detect_batch = jax.jit(_detect_batch,

@@ -1,0 +1,167 @@
+"""Detector page throughput on TPU: CRAFT vs dbnet18 (BASELINE config 3).
+
+Sustained pages/s/chip for both detector families at page resolution,
+plus per-page dispatch latency percentiles.  Batch >= 16 by default: at
+b4 every number reads as the ~27 ms relay RTT floor, not compute
+(CLAUDE.md) — this artifact is the VERDICT r2 missing-#4 item.
+
+Two numbers per family:
+
+* ``compute_pages_per_sec`` — device-resident batches, the detector
+  forward + on-device seed epilogue only (the chip's capability);
+* ``e2e_pages_per_sec`` — fresh uint8 page batches uploaded per dispatch
+  through a depth-pipelined pump (what a host-fed stream sustains; on
+  this relay the upload is the wall for big pages).
+
+Weights are random — detector throughput is weight-independent.
+
+Run: python scripts/bench_detectors.py [--size 736] [--batch 16] --out ...
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=736)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batches", type=int, default=8,
+                    help="distinct page batches per window")
+    ap.add_argument("--windows", type=int, default=3)
+    ap.add_argument("--depth", type=int, default=4)
+    ap.add_argument("--families", type=str,
+                    default="craft,dbnet,dbnet:bounded2,dbnet:bounded1",
+                    help="comma list; dbnet:<impl> selects the DCN "
+                         "implementation (gather/bounded2/bounded1)")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    from ocrfa_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from ocrfa_tpu.decode import CTCLabelConverter
+    from ocrfa_tpu.models.craft import init_craft
+    from ocrfa_tpu.models.crnn import init_crnn_gen1
+    from ocrfa_tpu.models.dbnet import init_dbnet
+    from ocrfa_tpu.pipeline import Recognizer
+    from ocrfa_tpu.registry import RECOGNITION_MODELS
+    from ocrfa_tpu.serving import ServingPipeline
+
+    chars = RECOGNITION_MODELS["gen1"]["arabic_g1"]["characters"]
+    conv = CTCLabelConverter(chars)
+    rec = Recognizer(init_crnn_gen1(jax.random.PRNGKey(0), conv.num_classes),
+                     conv)
+
+    rng = np.random.default_rng(0)
+    s = args.size
+    batches = [rng.integers(0, 255, (args.batch, s, s), dtype=np.uint8)
+               for _ in range(args.batches)]
+
+    results = {"size": s, "batch": args.batch, "families": {}}
+    for name in args.families.split(","):
+        family, _, impl = name.partition(":")
+        if family == "craft":
+            det_params = init_craft(jax.random.PRNGKey(1))
+            pipe = ServingPipeline(det_params, rec, canvas_size=s,
+                                   detector_family="craft")
+        else:
+            det_params = init_dbnet(jax.random.PRNGKey(1),
+                                    backbone="resnet18")
+            pipe = ServingPipeline(det_params, rec, canvas_size=s,
+                                   detector_family="dbnet", db_min_size=s,
+                                   db_dcn_impl=impl or "gather")
+
+        # ---- compute-only: device-resident batch, repeated dispatch ----
+        handles = pipe.submit_page_batch(list(batches[0]))  # compile
+        np.asarray(handles[0][1])
+        x = jnp.asarray(batches[0])
+        if family == "dbnet":
+            canvas_hw = pipe._canvas_hw_db(s, s)
+            fn = lambda: pipe._detect_batch(pipe.det_params, x,
+                                            canvas_hw=canvas_hw)
+        else:
+            target_hw, canvas_hw, _ = pipe._canvas_hw(s, s)
+            fn = lambda: pipe._detect_batch(pipe.det_params, x,
+                                            target_hw=target_hw,
+                                            canvas_hw=canvas_hw)
+        best = 0.0
+        for _ in range(args.windows):
+            t0 = time.perf_counter()
+            reps = 6
+            for _ in range(reps):
+                seeds = fn()
+            np.asarray(seeds[..., :1, :1])  # scalar-ish sync
+            best = max(best,
+                       args.batch * reps / (time.perf_counter() - t0))
+        compute_pps = best
+
+        # ---- e2e: fresh uploads, depth-pipelined; ONE seed fetch per
+        # batch (a per-page np.asarray would serialize ~26 ms RTTs,
+        # CLAUDE.md — the production loop packs per-page downloads the
+        # same way) ----
+        def window():
+            t0 = time.perf_counter()
+            inflight, done = [], 0
+            for b in batches:
+                inflight.append(fn_upload(jnp.asarray(b)))
+                if len(inflight) >= args.depth:
+                    np.asarray(inflight.pop(0))
+                    done += args.batch
+            while inflight:
+                np.asarray(inflight.pop(0))
+                done += args.batch
+            return done / (time.perf_counter() - t0)
+
+        if family == "dbnet":
+            fn_upload = lambda x: pipe._detect_batch(
+                pipe.det_params, x, canvas_hw=canvas_hw)
+        else:
+            fn_upload = lambda x: pipe._detect_batch(
+                pipe.det_params, x, target_hw=target_hw,
+                canvas_hw=canvas_hw)
+
+        window()
+        e2e = [window() for _ in range(args.windows)]
+
+        # ---- single-page dispatch latency ----
+        lat = []
+        np.asarray(pipe.submit_page(batches[0][0])[1])  # warm b1 program
+        for i in range(12):
+            t0 = time.perf_counter()
+            h = pipe.submit_page(batches[0][i % args.batch])
+            np.asarray(h[1])
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat = np.asarray(lat)
+
+        results["families"][name] = {
+            "compute_pages_per_sec": round(compute_pps, 1),
+            "e2e_pages_per_sec": round(statistics.median(e2e), 1),
+            "e2e_best": round(max(e2e), 1),
+            "p50_page_ms": round(float(np.percentile(lat, 50)), 2),
+            "p95_page_ms": round(float(np.percentile(lat, 95)), 2),
+        }
+        print(name, json.dumps(results["families"][name]), flush=True)
+
+    c = results["families"].get("craft", {}).get("compute_pages_per_sec")
+    for k, v in results["families"].items():
+        if c and k != "craft":
+            v["vs_craft_compute"] = round(v["compute_pages_per_sec"] / c, 3)
+    print(json.dumps(results))
+    if args.out:
+        Path(args.out).write_text(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,33 @@ class TestDBNetGraph:
         out = dbnet.dbnet_apply(params, x, backbone="resnet18", training=True)
         assert set(out) == {"binary", "thresh", "thresh_binary"}
 
+    def test_bounded_dcn_impl_matches_gather_for_small_offsets(self):
+        """dcn_impl="bounded2" == "gather" whenever offsets fit ±2 px.
+
+        Offset convs are shrunk so every offset is guaranteed inside the
+        radius (random-init offsets can exceed it); with that invariant
+        the two formulations must agree through the full net."""
+        import jax
+
+        params = dbnet.init_dbnet(jax.random.PRNGKey(2), backbone="resnet18")
+
+        def shrink(p):
+            if isinstance(p, dict):
+                return {k: (jax.tree.map(lambda a: a * 0.05, v)
+                            if k == "conv2_offset" else shrink(v))
+                        for k, v in p.items()}
+            if isinstance(p, list):
+                return [shrink(v) for v in p]
+            return p
+
+        params = shrink(params)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 64, 96, 3)).astype(np.float32) * 0.3
+        ref = np.asarray(dbnet.dbnet_apply(params, x, backbone="resnet18"))
+        ours = np.asarray(dbnet.dbnet_apply(params, x, backbone="resnet18",
+                                            dcn_impl="bounded2"))
+        np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-2)
+
     def test_resnet50_init_runs(self):
         import jax
 
