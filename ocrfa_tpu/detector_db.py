@@ -54,11 +54,16 @@ class DBNetDetector:
     """Device-resident DBNet with /32-shaped jit cache."""
 
     def __init__(self, params, backbone: str = "resnet18",
-                 compute_dtype=jnp.float32, mesh=None):
+                 compute_dtype=jnp.float32, mesh=None,
+                 dcn_impl: str = "gather"):
+        """``dcn_impl="bounded2"/"bounded1"``: clamped dense-shift DCN —
+        1.4-2.6x faster per stage on TPU (scripts/probe_dcn.py); exact vs
+        the default ``"gather"`` whenever trained offsets fit the radius."""
         self.backbone = backbone
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.device = "tpu"
+        self.dcn_impl = dcn_impl
         if compute_dtype != jnp.float32:
             params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
         if mesh is not None:
@@ -75,7 +80,8 @@ class DBNetDetector:
         self._apply = jax.jit(
             lambda p, x: dbnet_apply(p, x.astype(self.compute_dtype),
                                      backbone=backbone, decoder=decoder,
-                                     attention_type=attn).astype(jnp.float32)
+                                     attention_type=attn,
+                                     dcn_impl=dcn_impl).astype(jnp.float32)
         )
 
     @classmethod

@@ -118,6 +118,35 @@ def resnet_backbone(p, x, block: str = "basic", train: bool = False,
     return tuple(feats)
 
 
+def dcn_offset_maps(p, x, block: str = "basic"):
+    """Diagnostic: walk the ResNet backbone collecting every DCN block's
+    raw offset map (pre-clamp), keyed ``layer<i>.<j>``.
+
+    Used to decide whether ``dcn_impl="bounded<R>"`` is safe for a given
+    set of trained weights: if the offset distribution fits ±R px, the
+    bounded formulation is exact (ops/deform_conv.py).
+    """
+    block_fn = _basic_block if block == "basic" else _bottleneck
+    x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3),
+                        p["bn1"], False))
+    x = max_pool(x, 3, 2, padding=1)
+    offsets = {}
+    for name in ("layer1", "layer2", "layer3", "layer4"):
+        stride = 1 if name == "layer1" else 2
+        for j, bp in enumerate(p[name]):
+            if "conv2_offset" in bp:
+                # offsets are computed on the block's post-conv1 features
+                pre = relu(batch_norm(
+                    conv2d(x, bp["conv1"]["w"],
+                           stride=stride if j == 0 else 1, padding=1),
+                    bp["bn1"], False))
+                om = conv2d(pre, bp["conv2_offset"]["w"],
+                            bp["conv2_offset"]["b"], padding=1)
+                offsets[f"{name}.{j}"] = om[..., :18]
+            x = block_fn(bp, x, stride=stride if j == 0 else 1)
+    return offsets
+
+
 # ---------------------------------------------------------------------------
 # SegDetector decoder
 

@@ -614,6 +614,34 @@ def main():
     if rec_ft is not None:
         metrics["recognition_finetuned"] = rec_ft
         metrics["finetune_steps"] = args.finetune_steps
+
+    if args.detector == "dbnet":
+        # bounded-DCN safety evidence on TRAINED weights (VERDICT r2 #5):
+        # offset distribution + detection quality under dcn_impl=bounded
+        import jax
+
+        from ocrfa_tpu.models.dbnet import dcn_offset_maps
+
+        page_bgr = np.repeat(np.asarray(heldout[0])[..., None], 3, axis=-1)
+        canvas, _shape = ocr.detector.load_image(page_bgr)
+        offs = jax.jit(dcn_offset_maps)(det_params,
+                                        canvas[None].astype(np.float32))
+        flat = np.abs(np.concatenate(
+            [np.asarray(v).ravel() for v in offs.values()]))
+        metrics["dcn_offset_abs"] = {
+            "p50": round(float(np.percentile(flat, 50)), 3),
+            "p95": round(float(np.percentile(flat, 95)), 3),
+            "p99": round(float(np.percentile(flat, 99)), 3),
+            "max": round(float(flat.max()), 3),
+        }
+        for impl in ("bounded2", "bounded1"):
+            from ocrfa_tpu.detector_db import DBNetDetector as _DB
+
+            ocr.detector = _DB(det_params, dcn_impl=impl)
+            det_b, rec_b, _wb = run_eval(
+                ft if ft is not None else recog_params)
+            metrics[f"detection_{impl}"] = det_b
+            metrics[f"e2e_cer_{impl}"] = rec_b["e2e_cer"]
     print(json.dumps(metrics, indent=2, ensure_ascii=False))
     if args.out:
         Path(args.out).write_text(
