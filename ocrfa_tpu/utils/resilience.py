@@ -6,6 +6,9 @@ the production pieces the reference lacks:
 
 * ``with_retries`` — bounded exponential-backoff retry for transient device
   / transfer failures (the axon relay occasionally drops a round trip).
+* ``backend_alive`` — bounded liveness probe: the relay can die such that
+  every dispatch blocks FOREVER (no error); long jobs must fail fast
+  instead of hanging silently at step 0.
 * ``CheckpointManager`` — periodic Orbax snapshots of (params, opt_state,
   step) with resume-from-latest, for long training runs.
 """
@@ -17,6 +20,41 @@ import os
 import time
 
 LOGGER = logging.getLogger(__name__)
+
+
+def backend_alive(timeout_s: float = 120.0) -> bool:
+    """True once a trivial dispatch round-trips within ``timeout_s``.
+
+    The observed failure mode (CLAUDE.md): the relay tunnel dies and every
+    subsequent dispatch blocks indefinitely with no exception.  The probe
+    runs on a daemon thread so a hung dispatch cannot hang the caller.
+    Long-running jobs (trainers, benches) should call this first and fail
+    fast — a silent step-0 hang wastes the whole allocation.
+    """
+    import threading
+
+    ok: list = []
+
+    def probe():
+        import jax
+        import numpy as np
+
+        ok.append(float(np.asarray(jax.numpy.ones((8, 8)).sum())))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
+def require_backend(timeout_s: float = 120.0) -> None:
+    """``backend_alive`` or raise RuntimeError (for script entry points)."""
+    if not backend_alive(timeout_s):
+        raise RuntimeError(
+            f"no dispatch completed within {timeout_s:.0f}s — device "
+            "backend unreachable (relay down?); refusing to start a job "
+            "that would hang at step 0"
+        )
 
 
 def with_retries(fn, *args, retries: int = 3, backoff_s: float = 0.5,

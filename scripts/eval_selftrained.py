@@ -436,6 +436,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the relay can die such that every dispatch hangs forever — fail
+        # fast instead of hanging at step 0 (utils/resilience.py)
+        from ocrfa_tpu.utils.resilience import require_backend
+
+        require_backend()
     if args.small:
         args.page_size, args.steps, args.pages = 256, 60, 6
         args.eval_pages, args.base, args.batch = 2, 16, 2

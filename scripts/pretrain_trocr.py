@@ -71,6 +71,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # the relay can die such that every dispatch hangs forever — fail
+        # fast instead of hanging at step 0 (utils/resilience.py)
+        from ocrfa_tpu.utils.resilience import require_backend
+
+        require_backend()
 
     from ocrfa_tpu.utils.cache import enable_compilation_cache
 

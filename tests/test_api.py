@@ -106,6 +106,7 @@ class TestReadtext:
         assert isinstance(result, list)
 
 
+@pytest.mark.slow
 class TestReadtextDBNet:
     def test_dbnet_path(self, ocr):
         """Full readtext through the DBNet detector branch."""

@@ -1,6 +1,7 @@
 """Checkpoint persistence: Orbax save/load roundtrip; torch loading."""
 
 import numpy as np
+import pytest
 
 
 class TestOrbax:
@@ -116,6 +117,7 @@ class TestExportCraft:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 class TestExportDBNet:
     @staticmethod
     def _roundtrip(params, backbone):

@@ -5,6 +5,7 @@ and affinity placement have closed-form positions there); the trainer
 test drives make_craft_train_step on a width-scaled model.
 """
 
+import pytest
 import numpy as np
 
 from ocrfa_tpu.geometry.craft_maps import (
@@ -105,6 +106,7 @@ class TestSupervisionMaps:
             make_craft_batch(np.zeros((2, 32, 32, 3), np.float32), [[]])
 
 
+@pytest.mark.slow
 class TestCraftLoss:
     def _batch(self):
         rng = np.random.default_rng(0)

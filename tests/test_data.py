@@ -1,5 +1,6 @@
 """Synthetic data pipeline tests."""
 
+import pytest
 import numpy as np
 
 from ocrfa_tpu.data import Prefetcher, SyntheticFarsiLines
@@ -30,6 +31,7 @@ class TestSyntheticFarsiLines:
         first = ds.font["ا"]
         np.testing.assert_array_equal(img[:, 24:48], first)
 
+    @pytest.mark.slow
     def test_trains_with_ctc(self):
         """One train step on a synthetic batch runs and yields finite loss."""
         import jax

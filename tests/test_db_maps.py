@@ -5,6 +5,7 @@ Geometry checks are exact-by-construction on axis-aligned rectangles
 integration proves the generated batch drives a real DBNet train step.
 """
 
+import pytest
 import numpy as np
 
 from ocrfa_tpu.geometry.db_maps import (
@@ -145,6 +146,7 @@ class TestOverlapAndBatch:
             make_db_batch(imgs, polys, ignore_per_image=[[True]])
 
 
+@pytest.mark.slow
 class TestTrainerIntegration:
     def test_generated_maps_drive_a_dbnet_train_step(self):
         import jax

@@ -90,6 +90,7 @@ class TestDBNetGraph:
         assert y.shape == (1, 64, 64, 1)
 
 
+@pytest.mark.slow
 class TestDBNetTraining:
     def test_train_step_reduces_loss(self):
         import jax

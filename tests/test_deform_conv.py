@@ -79,6 +79,9 @@ class TestBoundedDeformConv:
             x, offset, mask, w, padding=1, radius=2))
         np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-4)
 
+    @pytest.mark.slow  # autodiff through the shifted-slice sum is a big
+    # CPU compile even at tiny shapes (radius=1 keeps it ~2 min; radius=2
+    # measured ~10 min on the 1-core host)
     def test_bias_and_grads(self):
         import jax
         import jax.numpy as jnp
@@ -91,7 +94,7 @@ class TestBoundedDeformConv:
 
         def loss(w_, off_):
             return jnp.sum(modulated_deform_conv_bounded(
-                x, off_, mask, w_, b=b, padding=1) ** 2)
+                x, off_, mask, w_, b=b, padding=1, radius=1) ** 2)
 
         gw, goff = jax.grad(loss, argnums=(0, 1))(jnp.asarray(w),
                                                   jnp.asarray(offset))

@@ -80,6 +80,7 @@ class TestShardedRecognition:
             [r[1] for r in single], [r[1] for r in sharded], rtol=1e-5
         )
 
+    @pytest.mark.slow
     def test_sharded_train_step(self):
         from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -7,6 +7,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # trainer/compile-heavy suite
+
 sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
 
 

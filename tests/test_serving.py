@@ -122,6 +122,7 @@ class TestDetectionSeeding:
             np.testing.assert_allclose(a, b)
 
 
+@pytest.mark.slow
 class TestMultichipServeScript:
     def test_runs_on_virtual_mesh(self, tmp_path):
         import json

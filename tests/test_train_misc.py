@@ -1,6 +1,9 @@
 """CTC loss wrapper behavior."""
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # trainer/compile-heavy suite
 
 
 class TestCTCLoss:
@@ -101,6 +104,7 @@ class TestStreamingTrainer:
 
         sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
         import pytest
+
         from eval_farsi import train_gen1
 
         try:
