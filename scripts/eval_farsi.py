@@ -590,6 +590,12 @@ def load_trained(path):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training rng seed (ignition pool, replay order, "
+                         "held-out probe).  Lock-in quality is seed-variable "
+                         "(CLAUDE.md); retraining at another seed is the "
+                         "cheap lever when a run lands above the ~0.045 "
+                         "plateau")
     ap.add_argument("--train-pool", type=int, default=20, help="distinct device-resident batches")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--eval-lines", type=int, default=256)
@@ -723,6 +729,7 @@ def main():
         params, conv, font, loss, calib_batches = train_gen1(
             charset, steps=args.steps, train_pool=args.train_pool,
             batch=args.batch, oc=oc, hs=hs, glyph_w=glyph_w, lr=args.lr,
+            seed=args.seed,
             snapshot_path=(args.save_params + ".snap"
                            if args.save_params else None),
             ema_decay=(args.ema or None),

@@ -130,25 +130,31 @@ def det_crop_augment(crop, r):
     """Simulate the detection->crop pipeline on a clean rendered line.
 
     A trained detector's box is never the exact render rect: it carries
-    margins (the region-map threshold + add_margin), a few degrees of
-    tilt (minAreaRect of a soft blob), and the 4-point warp +
+    margins (the region-map threshold + add_margin), occasional tilt
+    (minAreaRect of a soft blob), and the 4-point warp +
     height-normalise resampling (``get_image_list``).  A recognizer
     trained only on native 64px renders loses ~10x CER through that
     transform; fine-tuning THROUGH the production crop functions
     (four_point_transform + compute_ratio_and_resize, the exact
     deployment code path) closes the domain gap.
 
-    30% of crops pass through clean as anchors.
+    Pad/tilt ranges are set to the MEASURED box-vs-GT distribution of a
+    trained detector on held-out pages (scripts/diag_craft_arm.py,
+    n=185 matched boxes: top/bottom margin p5-p95 = 6-7 px, left/right
+    0-6 px, tilt identically 0) rather than guessed wide ranges — the
+    r3 audit showed the earlier +-0.1 rad / 0-12 px augment trained a
+    far broader domain than deployment ever produces, costing matched
+    CER.  15% of crops pass through clean as alignment anchors.
     """
     from ocrfa_tpu.geometry.transform import four_point_transform
     from ocrfa_tpu.preproc.host import compute_ratio_and_resize
 
-    if r.random() < 0.3:
+    if r.random() < 0.15:
         return crop
     h, w = crop.shape
-    pt, pb = int(r.integers(0, 9)), int(r.integers(0, 9))
-    pl, pr = int(r.integers(0, 13)), int(r.integers(0, 13))
-    ang = float(r.uniform(-0.1, 0.1))
+    pt, pb = int(r.integers(4, 9)), int(r.integers(4, 9))
+    pl, pr = int(r.integers(0, 8)), int(r.integers(0, 8))
+    ang = float(r.uniform(-0.02, 0.02))
     ch, cw = h + pt + pb, w + pl + pr
     border = int(np.ceil(abs(ang) * np.hypot(ch, cw) / 2)) + 2
     canvas = np.full((ch + 2 * border, cw + 2 * border), 250, np.uint8)
