@@ -22,7 +22,7 @@ import time
 LOGGER = logging.getLogger(__name__)
 
 
-def backend_alive(timeout_s: float = 120.0) -> bool:
+def backend_alive(timeout_s: float | None = None) -> bool:
     """True once a trivial dispatch round-trips within ``timeout_s``.
 
     The observed failure mode (CLAUDE.md): the relay tunnel dies and every
@@ -30,8 +30,17 @@ def backend_alive(timeout_s: float = 120.0) -> bool:
     runs on a daemon thread so a hung dispatch cannot hang the caller.
     Long-running jobs (trainers, benches) should call this first and fail
     fast — a silent step-0 hang wastes the whole allocation.
+
+    ``timeout_s`` defaults to ``$OCRFA_BACKEND_PROBE_S`` or 120.  Raise it
+    when another dispatch-heavy job shares the relay: a healthy but busy
+    relay can starve the trivial probe past 120 s (observed), and a false
+    negative kills a job that would have run fine.
     """
+    import os
     import threading
+
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("OCRFA_BACKEND_PROBE_S", "120"))
 
     ok: list = []
 
@@ -47,13 +56,14 @@ def backend_alive(timeout_s: float = 120.0) -> bool:
     return bool(ok)
 
 
-def require_backend(timeout_s: float = 120.0) -> None:
+def require_backend(timeout_s: float | None = None) -> None:
     """``backend_alive`` or raise RuntimeError (for script entry points)."""
     if not backend_alive(timeout_s):
         raise RuntimeError(
-            f"no dispatch completed within {timeout_s:.0f}s — device "
+            "no dispatch completed within the probe window — device "
             "backend unreachable (relay down?); refusing to start a job "
-            "that would hang at step 0"
+            "that would hang at step 0.  If another job is hammering the "
+            "relay, raise OCRFA_BACKEND_PROBE_S instead."
         )
 
 

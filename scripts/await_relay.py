@@ -1,9 +1,11 @@
-"""Block until the TPU relay answers, then exec a command.
+"""Supervise a TPU job across relay outages.
 
-The axon relay dies silently for stretches (observed: ~80 min), during
-which every dispatch blocks forever.  ``require_backend`` makes jobs fail
-fast; this is the other half — queue the job and start it the moment the
-relay recovers:
+The axon relay dies silently for stretches (observed: ~80 min) and also
+FLAPS — one probe answers, the next dispatch hangs.  ``require_backend``
+makes jobs fail fast; this is the other half: wait for a STABLE relay
+(several consecutive good probes), launch the job, and relaunch it if it
+dies early (its own fail-fast probe tripping counts as "relay flapped,
+try again"):
 
   python scripts/await_relay.py -- python scripts/eval_farsi.py ...
 
@@ -12,7 +14,6 @@ recovers even after the relay does, so polling must not reuse one.
 """
 
 import argparse
-import os
 import subprocess
 import sys
 import time
@@ -34,24 +35,56 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--poll-s", type=float, default=90.0,
                     help="seconds between probes while the relay is down")
-    ap.add_argument("--max-wait-s", type=float, default=4 * 3600.0)
+    ap.add_argument("--stable-probes", type=int, default=3,
+                    help="consecutive good probes (spaced --stable-gap-s) "
+                         "required before launching — one good probe does "
+                         "NOT mean the relay will survive the next dispatch")
+    ap.add_argument("--stable-gap-s", type=float, default=30.0)
+    ap.add_argument("--retries", type=int, default=6,
+                    help="relaunches after the job dies within --early-s "
+                         "(a crash that fast is a relay flap, not the job)")
+    ap.add_argument("--early-s", type=float, default=600.0)
+    ap.add_argument("--max-wait-s", type=float, default=6 * 3600.0)
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
-                    help="command to exec once the relay answers "
+                    help="command to run once the relay is stable "
                          "(prefix with --)")
     args = ap.parse_args()
     cmd = args.cmd[1:] if args.cmd and args.cmd[0] == "--" else args.cmd
     if not cmd:
         ap.error("no command given")
     t0 = time.time()
-    n = 0
+    launches = 0
+    good = 0
     while time.time() - t0 < args.max_wait_s:
-        n += 1
         if relay_up():
-            print(f"[await_relay] relay up after {time.time() - t0:.0f}s "
-                  f"({n} probes); exec: {' '.join(cmd)}", flush=True)
-            os.execvp(cmd[0], cmd)
-        print(f"[await_relay] down ({time.time() - t0:.0f}s)", flush=True)
-        time.sleep(args.poll_s)
+            good += 1
+            if good < args.stable_probes:
+                time.sleep(args.stable_gap_s)
+                continue
+            launches += 1
+            print(f"[await_relay] relay stable ({good} probes, "
+                  f"{time.time() - t0:.0f}s); launch #{launches}: "
+                  f"{' '.join(cmd)}", flush=True)
+            ts = time.time()
+            rc = subprocess.call(cmd)
+            ran_s = time.time() - ts
+            if rc == 0:
+                print(f"[await_relay] job done rc=0 ({ran_s:.0f}s)",
+                      flush=True)
+                return 0
+            if ran_s > args.early_s or launches > args.retries:
+                print(f"[await_relay] job rc={rc} after {ran_s:.0f}s — "
+                      "not retrying (ran past --early-s or out of "
+                      "retries)", flush=True)
+                return rc
+            print(f"[await_relay] job rc={rc} after {ran_s:.0f}s — "
+                  "relay flap suspected, re-awaiting", flush=True)
+            good = 0
+        else:
+            good = 0
+            print(f"[await_relay] down ({time.time() - t0:.0f}s)",
+                  flush=True)
+            time.sleep(args.poll_s)
     print(f"[await_relay] gave up after {args.max_wait_s:.0f}s", flush=True)
     return 1
 
