@@ -58,18 +58,37 @@ def char_quads_shaped(text, renderer):
     pw = [r.measure(text[:i]) for i in range(len(text) + 1)]
     h, m = r.height, r.margin
     words, cur = [], []
+    carry = 0.0  # sub-pixel advances fold into the next char's band
+
+    def flush():
+        nonlocal carry
+        if cur:
+            if carry > 0.0:
+                # word ended on a degenerate char (RTL: the line's LEFT
+                # tail): stretch the last quad leftward over its span
+                cur[-1][[0, 3], 0] -= carry
+            words.append(cur)
+        carry = 0.0
+
     for i, ch in enumerate(text):
         if ch.isspace():
-            if cur:
-                words.append(cur)
+            flush()
             cur = []
             continue
-        x1 = m + total - pw[i]
+        x1 = m + total - pw[i] + carry
         x0 = m + total - pw[i + 1]
         if x1 - x0 >= 1.0:
             cur.append(_rect(x0, 0, x1, h))
-    if cur:
-        words.append(cur)
+            carry = 0.0
+        else:
+            # joined/contextual forms can shape to near-zero advance;
+            # DROPPING them leaves an affinity gap in the CRAFT
+            # supervision exactly at ligature positions — the trained
+            # detector then emits disconnected fragments there (the r3
+            # FP audit: 6px slivers at line ends, diag_craft_arm.py).
+            # Widen the neighbouring char's band over the degenerate span.
+            carry = x1 - x0
+    flush()
     return words
 
 

@@ -38,6 +38,81 @@ class TestRetries:
         assert calls["n"] == 1
 
 
+class TestBackendProbe:
+    def test_alive_on_cpu(self):
+        from ocrfa_tpu.utils.resilience import backend_alive
+
+        # conftest forces the CPU backend; a trivial dispatch completes
+        assert backend_alive(timeout_s=120.0)
+
+    def test_timeout_returns_false(self):
+        from ocrfa_tpu.utils.resilience import backend_alive
+
+        # join() returns before any probe thread could possibly finish
+        assert backend_alive(timeout_s=1e-9) is False
+
+    def test_require_backend_raises_and_env_window(self, monkeypatch):
+        from ocrfa_tpu.utils.resilience import require_backend
+
+        monkeypatch.setenv("OCRFA_BACKEND_PROBE_S", "1e-9")
+        with pytest.raises(RuntimeError, match="backend unreachable"):
+            require_backend()
+        monkeypatch.setenv("OCRFA_BACKEND_PROBE_S", "120")
+        require_backend()  # does not raise
+
+
+class TestAwaitRelaySupervisor:
+    """The stable-probe gate + early-flap relaunch logic of
+    scripts/await_relay.py, with relay_up stubbed."""
+
+    @staticmethod
+    def _load():
+        import importlib.util
+        from pathlib import Path
+
+        path = (Path(__file__).parent.parent / "scripts" / "await_relay.py")
+        spec = importlib.util.spec_from_file_location("await_relay", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_requires_consecutive_probes_and_relaunches(self, monkeypatch):
+        mod = self._load()
+        # relay: up, down (resets the streak), then stable
+        seq = iter([True, False, True, True, True, True, True, True])
+        monkeypatch.setattr(mod, "relay_up", lambda *a, **k: next(seq))
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        calls = {"n": 0}
+
+        def fake_call(cmd):
+            calls["n"] += 1
+            return 1 if calls["n"] == 1 else 0  # first launch flap-dies
+
+        monkeypatch.setattr(mod.subprocess, "call", fake_call)
+        monkeypatch.setattr(
+            mod.sys, "argv",
+            ["await_relay.py", "--stable-probes", "2", "--stable-gap-s",
+             "0", "--poll-s", "0", "--", "echo", "hi"])
+        assert mod.main() == 0
+        assert calls["n"] == 2  # relaunched once after the flap death
+
+    def test_gives_up_after_max_wait(self, monkeypatch):
+        mod = self._load()
+        monkeypatch.setattr(mod, "relay_up", lambda *a, **k: False)
+        t = {"now": 0.0}
+        monkeypatch.setattr(mod.time, "time", lambda: t["now"])
+
+        def advance(s):
+            t["now"] += max(s, 1.0)
+
+        monkeypatch.setattr(mod.time, "sleep", advance)
+        monkeypatch.setattr(
+            mod.sys, "argv",
+            ["await_relay.py", "--max-wait-s", "5", "--poll-s", "1",
+             "--", "echo", "hi"])
+        assert mod.main() == 1
+
+
 class TestCheckpointManager:
     def test_save_restore_gc(self, tmp_path):
         import jax

@@ -48,6 +48,20 @@ class TestCharQuadsShaped:
             for q in w:
                 assert q[:, 0].max() - q[:, 0].min() >= 1.0
 
+    def test_ligature_spans_fold_into_neighbors(self, renderer):
+        """Degenerate (near-zero-advance) joined forms must not leave
+        SUPERVISION GAPS: their span folds into a neighbouring char's
+        quad, so each word's quads tile its full x-extent contiguously
+        (affinity gaps at ligatures trained detectors that emitted
+        disconnected fragment boxes — r3 FP audit, diag_craft_arm.py)."""
+        from eval_selftrained import char_quads_shaped
+
+        for text in ("لا", "للا", "ابتث جلا", "لالا"):
+            for word in char_quads_shaped(text, renderer):
+                spans = sorted((q[:, 0].min(), q[:, 0].max()) for q in word)
+                for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+                    assert b0 - a1 <= 0.51, (text, spans)
+
 
 class TestDetCropAugment:
     def test_shape_and_dtype(self, renderer):
