@@ -631,7 +631,9 @@ def main():
     metrics = {
         "detector": f"{det_name}, trained {args.steps} steps "
                     f"from random init on {args.pages} shaped pages",
-        "recognizer": (f"gen1 {meta['oc']}/{meta['hs']} shaped snapshot "
+        "recognizer": (f"{meta.get('variant', 'gen1')}"
+                       f"{' late' + str(meta['late_channel']) if meta.get('late_channel') else ''}"
+                       f" {meta['oc']}/{meta['hs']} shaped snapshot "
                        f"({meta['steps']} steps, ctc {recog_loss:.4f})"),
         "torch_weights_used": 0,
         "page_size": page,
