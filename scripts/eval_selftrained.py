@@ -483,8 +483,31 @@ def main():
     from ocrfa_tpu.train import calibrate_bn_stats
 
     # ---- recognizer: the shaped-typography trained snapshot ---------------
-    recog_params, conv, _font, recog_loss, _calib, meta = load_trained(
-        args.recognizer)
+    # Two families inject the same way (TrocrRecognizer is facade-
+    # compatible, pipeline.py:379): CRNN blobs from eval_farsi
+    # --save-params, TrOCR blobs from pretrain_trocr --save-params
+    # (meta family=trocr; fine-tune those through the crop transform with
+    # pretrain_trocr --det-augment --continue-from, not --finetune-steps).
+    import pickle as _pkl
+
+    with open(args.recognizer, "rb") as f:
+        _blob_probe = _pkl.load(f)
+    family = _blob_probe.get("meta", {}).get("family", "crnn")
+    if family == "trocr":
+        from ocrfa_tpu.decode import CTCLabelConverter
+
+        meta = _blob_probe["meta"]
+        recog_params = _blob_probe["params"]
+        conv = CTCLabelConverter(meta["charset"])
+        recog_loss = float(meta.get("best_cer") or 0.0)
+        if args.finetune_steps:
+            raise SystemExit(
+                "--finetune-steps is the CTC fine-tune; for trocr blobs "
+                "run pretrain_trocr --det-augment --continue-from and pass "
+                "the result as --recognizer (or --load-recognizer-ft)")
+    else:
+        recog_params, conv, _font, recog_loss, _calib, meta = load_trained(
+            args.recognizer)
     # periodic training snapshots predate the realfont meta keys; the flag
     # mirrors how the snapshot was trained (shaped_gen1.pkl: Sans+Bold mix)
     font_mix = meta.get("font_mix", not args.no_font_mix)
@@ -590,7 +613,13 @@ def main():
     # ---- held-out pages through the production facade ---------------------
     heldout, heldout_lines, _hc, records = make_shaped_pages(
         args.eval_pages, renderer, text_charset, page=page, seed=1234)
-    from ocrfa_tpu.pipeline import Recognizer
+    from ocrfa_tpu.pipeline import Recognizer, TrocrRecognizer
+
+    def make_recognizer(rp):
+        if family == "trocr":
+            return TrocrRecognizer(rp, conv, heads=meta.get("heads", 8),
+                                   max_len=meta.get("max_len", 48))
+        return Recognizer(rp, conv, variant=meta.get("variant", "gen1"))
 
     if args.detector == "craft":
         from ocrfa_tpu.detector import CraftDetector
@@ -604,7 +633,7 @@ def main():
     ocr.converter = conv
 
     def run_eval(rp, show=0):
-        ocr.recognizer = Recognizer(rp, conv)
+        ocr.recognizer = make_recognizer(rp)
         t0 = time.time()
         results_per_page, det_boxes = [], []
         for pg in heldout:
@@ -631,10 +660,14 @@ def main():
     metrics = {
         "detector": f"{det_name}, trained {args.steps} steps "
                     f"from random init on {args.pages} shaped pages",
-        "recognizer": (f"{meta.get('variant', 'gen1')}"
-                       f"{' late' + str(meta['late_channel']) if meta.get('late_channel') else ''}"
-                       f" {meta['oc']}/{meta['hs']} shaped snapshot "
-                       f"({meta['steps']} steps, ctc {recog_loss:.4f})"),
+        "recognizer": (
+            f"trocr d{meta['d_model']} x{meta['layers']}L shaped "
+            f"({meta['steps']} steps, best cer {recog_loss:.4f})"
+            if family == "trocr" else
+            f"{meta.get('variant', 'gen1')}"
+            f"{' late' + str(meta['late_channel']) if meta.get('late_channel') else ''}"
+            f" {meta['oc']}/{meta['hs']} shaped snapshot "
+            f"({meta['steps']} steps, ctc {recog_loss:.4f})"),
         "torch_weights_used": 0,
         "page_size": page,
         "craft_loss_first": round(losses[0][1], 5) if losses else None,
