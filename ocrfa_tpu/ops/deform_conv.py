@@ -116,6 +116,23 @@ def modulated_deform_conv(x, offset, mask, w, b=None,
     return out.reshape(n, ho, wo, cout)
 
 
+def deform_conv(x, offset, w, b=None,
+                stride: int = 1, padding: int = 1, dilation: int = 1):
+    """DCNv1 forward — deformable sampling without modulation.
+
+    The reference exports this beside the modulated op
+    (``deform_conv_forward_cpu``, ``dcn/src/deform_conv_cpu.cpp:743-758``;
+    module wrapper ``DeformConv``, ``dcn/modules/deform_conv.py:10-70``)
+    even though no shipped config reaches it (the production backbones use
+    ``modulated=True`` only, ``backbones/resnet.py:62-64``).  v1 is exactly
+    v2 with a unit modulation mask, so it shares the row-gather kernel.
+    """
+    n, ho, wo, k2 = offset.shape
+    mask = jnp.ones((n, ho, wo, k2 // 2), x.dtype)
+    return modulated_deform_conv(x, offset, mask, w, b, stride=stride,
+                                 padding=padding, dilation=dilation)
+
+
 @partial(jax.jit, static_argnames=("stride", "padding", "dilation", "radius"))
 def modulated_deform_conv_bounded(x, offset, mask, w, b=None,
                                   stride: int = 1, padding: int = 1,

@@ -45,15 +45,22 @@ def backend_alive(timeout_s: float | None = None) -> bool:
     ok: list = []
 
     def probe():
-        import jax
-        import numpy as np
-
-        ok.append(float(np.asarray(jax.numpy.ones((8, 8)).sum())))
+        ok.append(_probe_dispatch())
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     return bool(ok)
+
+
+def _probe_dispatch() -> float:
+    """One trivial device round trip (module-level so tests can stub a
+    deterministically slow/hung probe — a warm CPU dispatch finishes in
+    microseconds, faster than any join() timeout meant to expire first)."""
+    import jax
+    import numpy as np
+
+    return float(np.asarray(jax.numpy.ones((8, 8)).sum()))
 
 
 def require_backend(timeout_s: float | None = None) -> None:

@@ -101,3 +101,31 @@ class TestBoundedDeformConv:
         assert np.isfinite(np.asarray(gw)).all()
         assert np.isfinite(np.asarray(goff)).all()
         assert float(jnp.abs(goff).sum()) > 0  # offsets get gradient
+
+
+class TestDeformConvV1:
+    """Plain (non-modulated) DCNv1 — the reference's second exported op."""
+
+    def test_unit_mask_equivalence(self):
+        from ocrfa_tpu.ops.deform_conv import deform_conv
+
+        rng = np.random.default_rng(7)
+        x, offset, _m, wgt = _rand_case(rng)
+        ones = np.ones((1, offset.shape[1], offset.shape[2], 9), np.float32)
+        got = np.asarray(deform_conv(x, offset, wgt))
+        want = modulated_deform_conv_np(x, offset, ones, wgt)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_zero_offset_equals_conv(self):
+        import jax
+
+        from ocrfa_tpu.ops.deform_conv import deform_conv
+
+        rng = np.random.default_rng(8)
+        x, offset, _m, wgt = _rand_case(rng)
+        offset = np.zeros_like(offset)
+        got = np.asarray(deform_conv(x, offset, wgt))
+        want = np.asarray(jax.lax.conv_general_dilated(
+            x, wgt, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -45,20 +45,31 @@ class TestBackendProbe:
         # conftest forces the CPU backend; a trivial dispatch completes
         assert backend_alive(timeout_s=120.0)
 
-    def test_timeout_returns_false(self):
-        from ocrfa_tpu.utils.resilience import backend_alive
+    def test_timeout_returns_false(self, monkeypatch):
+        import time
 
-        # join() returns before any probe thread could possibly finish
-        assert backend_alive(timeout_s=1e-9) is False
+        from ocrfa_tpu.utils import resilience
+
+        # a hung relay = a dispatch that never returns; stub the probe
+        # with a sleep far longer than the window (a real warm CPU
+        # dispatch can finish before even a 1 ns join expires)
+        monkeypatch.setattr(resilience, "_probe_dispatch",
+                            lambda: time.sleep(30.0) or 0.0)
+        assert resilience.backend_alive(timeout_s=0.05) is False
 
     def test_require_backend_raises_and_env_window(self, monkeypatch):
-        from ocrfa_tpu.utils.resilience import require_backend
+        import time
 
-        monkeypatch.setenv("OCRFA_BACKEND_PROBE_S", "1e-9")
+        from ocrfa_tpu.utils import resilience
+
+        monkeypatch.setenv("OCRFA_BACKEND_PROBE_S", "0.05")
+        monkeypatch.setattr(resilience, "_probe_dispatch",
+                            lambda: time.sleep(30.0) or 0.0)
         with pytest.raises(RuntimeError, match="backend unreachable"):
-            require_backend()
+            resilience.require_backend()
+        monkeypatch.undo()
         monkeypatch.setenv("OCRFA_BACKEND_PROBE_S", "120")
-        require_backend()  # does not raise
+        resilience.require_backend()  # does not raise
 
 
 class TestAwaitRelaySupervisor:
