@@ -83,11 +83,15 @@ def build_recognizer(recog_network: str, network_params: dict, character: str,
 
 
 def build_detector(detect_network: str, model_path: str, device: str = "tpu",
-                   quantize: bool = True, cudnn_benchmark: bool = False):
+                   quantize: bool = True, cudnn_benchmark: bool = False,
+                   dbnet_dcn_impl: str = "gather"):
     """Load + convert a detection checkpoint -> detector driver.
 
     Counterpart of ``get_detector`` (detectors.py:76-92) / ``get_detector_db``
-    (detectors.py:166-187).
+    (detectors.py:166-187).  ``dbnet_dcn_impl`` selects the deformable-conv
+    formulation for the dbnet families: ``"gather"`` (exact reference
+    semantics) or ``"bounded2"``/``"bounded1"`` (clamped dense-shift, the
+    TPU fast path — see :class:`ocrfa_tpu.detector_db.DBNetDetector`).
     """
     from ocrfa_tpu import checkpoints
 
@@ -102,7 +106,8 @@ def build_detector(detect_network: str, model_path: str, device: str = "tpu",
 
         backbone = "resnet18" if detect_network == "dbnet18" else "resnet50"
         sd = checkpoints.load_torch_state_dict(model_path)
-        return DBNetDetector.from_torch(sd, backbone=backbone)
+        return DBNetDetector.from_torch(sd, backbone=backbone,
+                                        dcn_impl=dbnet_dcn_impl)
     raise RuntimeError(
         "Unsupport detector network. Support networks are craft and dbnet18."
     )
@@ -128,6 +133,12 @@ class OCR:
         language_list = ["fa"]
         self.verbose = verbose
         self.download_enabled = download_enabled
+        # Beyond-parity TPU knob (the ctor kwarg surface must stay
+        # reference-identical): set to "bounded1"/"bounded2" BEFORE
+        # setDetector("dbnet18") to build the detector on the clamped
+        # dense-shift DCN fast path (1.27x CRAFT pages/s at 736^2,
+        # eval_results/PAGES_r3.json).
+        self.dbnet_dcn_impl = "gather"
 
         self.model_storage_directory = registry.MODULE_PATH + "/model"
         if model_storage_directory:
@@ -299,6 +310,7 @@ class OCR:
         return build_detector(
             self.detect_network, detector_path, device=self.device,
             quantize=self.quantize, cudnn_benchmark=self.cudnn_benchmark,
+            dbnet_dcn_impl=self.dbnet_dcn_impl,
         )
 
     def setDetector(self, detect_network):

@@ -170,3 +170,31 @@ class TestSignatureParity:
         assert list(ours.parameters) == list(ref.parameters)
         for name in ours.parameters:
             assert ours.parameters[name].default == ref.parameters[name].default, name
+
+
+class TestDcnImplKnob:
+    """The beyond-parity dbnet_dcn_impl attribute threads into the
+    detector factory (the ctor kwarg surface must stay reference-identical,
+    so the TPU fast path hangs off an attribute + setDetector rebuild)."""
+
+    def test_attribute_threads_to_build_detector(self, ocr, monkeypatch):
+        import ocrfa_tpu.api as api
+
+        captured = {}
+
+        def fake_build(detect_network, model_path, **kw):
+            captured.update(kw, network=detect_network)
+            return object()
+
+        monkeypatch.setattr(api, "build_detector", fake_build)
+        assert ocr.dbnet_dcn_impl == "gather"
+        prev_net = ocr.detect_network
+        ocr.detect_network = "dbnet18"
+        ocr.dbnet_dcn_impl = "bounded1"
+        try:
+            ocr.initDetector("unused.pth")
+        finally:
+            ocr.dbnet_dcn_impl = "gather"
+            ocr.detect_network = prev_net
+        assert captured["network"] == "dbnet18"
+        assert captured["dbnet_dcn_impl"] == "bounded1"
