@@ -690,7 +690,7 @@ def main():
 
         page_bgr = np.repeat(np.asarray(heldout[0])[..., None], 3, axis=-1)
         canvas, _shape = ocr.detector.load_image(page_bgr)
-        offs = jax.jit(dcn_offset_maps)(det_params,
+        offs = jax.jit(dcn_offset_maps)(det_params["backbone"],
                                         canvas[None].astype(np.float32))
         flat = np.abs(np.concatenate(
             [np.asarray(v).ravel() for v in offs.values()]))
