@@ -43,7 +43,7 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
                trie_trans=None, trie_word=None, sep_idx: int = -1,
                oov_penalty: float = -4.0, word_bonus: float = 0.0,
                trie_word_id=None, word_lm_log=None,
-               word_lm_factor: float = 0.0):
+               word_lm_factor: float = 0.0, merge: str = "dense"):
     prefix, length, h1, h2, pb, pnb, node, pword = state
     b = beam_width
     k = topk
@@ -127,42 +127,75 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
     cand_h1 = jnp.where(dead, uniq, cand_h1)
     cand_h2 = jnp.where(dead, uniq * _P2, cand_h2)
 
-    # ---- merge duplicates: lexsort by the hash pair, segment-logsumexp
-    # (NB: a single uint64 key silently truncates to uint32 without x64)
-    order = jnp.lexsort((cand_h2, cand_h1))
-    h1_s = cand_h1[order]
-    h2_s = cand_h2[order]
-    pb_s = cand_pb[order]
-    pnb_s = cand_pnb[order]
+    if merge == "dense":
+        # ---- merge duplicates: dense (m, m) hash-equality matrix.
+        # m = B + B*K is small (72 at B=K=8), and TPUs hate the
+        # alternative — lexsort is two bitonic passes and the segment_*
+        # reductions lower to sorted scatters; the dense form is pure
+        # elementwise/reduction work on an (m, m) tile (the fix for
+        # BEAM_r3's 0.48x-greedy device beam, VERDICT r3 #7).
+        eq = (cand_h1[:, None] == cand_h1[None, :]) & (
+            cand_h2[:, None] == cand_h2[None, :])
+        # representative = first candidate of its equality class
+        rep_of = jnp.argmax(eq, axis=1)
+        is_rep = rep_of == jnp.arange(m)
 
-    seg_start = jnp.concatenate([
-        jnp.array([True]),
-        (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1]),
-    ])
-    seg_id = jnp.cumsum(seg_start) - 1
-    # logsumexp per segment, numerically safe: subtract segment max first
-    seg_max = jax.ops.segment_max(jnp.maximum(pb_s, pnb_s), seg_id, num_segments=m)
-    seg_max_g = seg_max[seg_id]
-    exp_pb = jnp.where(pb_s > NEG_INF / 2, jnp.exp(pb_s - seg_max_g), 0.0)
-    exp_pnb = jnp.where(pnb_s > NEG_INF / 2, jnp.exp(pnb_s - seg_max_g), 0.0)
-    sum_pb = jax.ops.segment_sum(exp_pb, seg_id, num_segments=m)
-    sum_pnb = jax.ops.segment_sum(exp_pnb, seg_id, num_segments=m)
-    new_pb_seg = jnp.where(sum_pb > 0, jnp.log(sum_pb) + seg_max, NEG_INF)
-    new_pnb_seg = jnp.where(sum_pnb > 0, jnp.log(sum_pnb) + seg_max, NEG_INF)
-    score_seg = _logaddexp(new_pb_seg, new_pnb_seg)
-    n_segs = seg_id[-1] + 1
-    valid_seg = jnp.arange(m) < n_segs
-    score_seg = jnp.where(valid_seg, score_seg, NEG_INF)
+        def seg_lse(v):
+            vm = jnp.where(eq, v[None, :], NEG_INF)
+            mx = jnp.max(vm, axis=1)
+            s = jnp.sum(jnp.where(eq, jnp.exp(vm - mx[:, None]), 0.0),
+                        axis=1)
+            return jnp.where(s > 0, jnp.log(s) + mx, NEG_INF)
 
-    # representative candidate (first in sorted order) per segment
-    first_sorted_idx = jax.ops.segment_min(
-        jnp.arange(m), seg_id, num_segments=m
-    )
-    rep_cand = order[jnp.clip(first_sorted_idx, 0, m - 1)]
+        new_pb_seg = seg_lse(cand_pb)
+        new_pnb_seg = seg_lse(cand_pnb)
+        score_seg = jnp.where(is_rep,
+                              _logaddexp(new_pb_seg, new_pnb_seg), NEG_INF)
 
-    # ---- select top-B segments
-    best_scores, best_seg = jax.lax.top_k(score_seg, b)
-    rep = rep_cand[best_seg]
+        # ---- select top-B representatives
+        best_scores, rep = jax.lax.top_k(score_seg, b)
+        best_seg = rep
+    else:
+        # ---- merge duplicates: lexsort by the hash pair, segment-
+        # logsumexp (kept as the measured baseline; a single uint64 key
+        # silently truncates to uint32 without x64)
+        order = jnp.lexsort((cand_h2, cand_h1))
+        h1_s = cand_h1[order]
+        h2_s = cand_h2[order]
+        pb_s = cand_pb[order]
+        pnb_s = cand_pnb[order]
+
+        seg_start = jnp.concatenate([
+            jnp.array([True]),
+            (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1]),
+        ])
+        seg_id = jnp.cumsum(seg_start) - 1
+        # logsumexp per segment, numerically safe: subtract the max first
+        seg_max = jax.ops.segment_max(jnp.maximum(pb_s, pnb_s), seg_id,
+                                      num_segments=m)
+        seg_max_g = seg_max[seg_id]
+        exp_pb = jnp.where(pb_s > NEG_INF / 2, jnp.exp(pb_s - seg_max_g), 0.0)
+        exp_pnb = jnp.where(pnb_s > NEG_INF / 2,
+                            jnp.exp(pnb_s - seg_max_g), 0.0)
+        sum_pb = jax.ops.segment_sum(exp_pb, seg_id, num_segments=m)
+        sum_pnb = jax.ops.segment_sum(exp_pnb, seg_id, num_segments=m)
+        new_pb_seg = jnp.where(sum_pb > 0, jnp.log(sum_pb) + seg_max, NEG_INF)
+        new_pnb_seg = jnp.where(sum_pnb > 0,
+                                jnp.log(sum_pnb) + seg_max, NEG_INF)
+        score_seg = _logaddexp(new_pb_seg, new_pnb_seg)
+        n_segs = seg_id[-1] + 1
+        valid_seg = jnp.arange(m) < n_segs
+        score_seg = jnp.where(valid_seg, score_seg, NEG_INF)
+
+        # representative candidate (first in sorted order) per segment
+        first_sorted_idx = jax.ops.segment_min(
+            jnp.arange(m), seg_id, num_segments=m
+        )
+        rep_cand = order[jnp.clip(first_sorted_idx, 0, m - 1)]
+
+        # ---- select top-B segments
+        best_scores, best_seg = jax.lax.top_k(score_seg, b)
+        rep = rep_cand[best_seg]
     par = parent[rep]
     ch = newchar[rep]
 
@@ -193,14 +226,15 @@ def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
 # only the shape-determining knobs are static; lm_factor/sep_idx/
 # oov_penalty/word_bonus trace as scalars so sweeping them (e.g. the
 # eval_lexicon OOV-penalty sweep) reuses one compiled program
-@partial(jax.jit, static_argnames=("beam_width", "topk"))
+@partial(jax.jit, static_argnames=("beam_width", "topk", "merge"))
 def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
                            lm_log=None, lm_factor: float = 0.3,
                            trie_trans=None, trie_word=None, sep_idx: int = -1,
                            oov_penalty: float = -4.0,
                            word_bonus: float = 0.0,
                            trie_word_id=None, word_lm_log=None,
-                           word_lm_factor: float = 0.5):
+                           word_lm_factor: float = 0.5,
+                           merge: str = "dense"):
     """Batch CTC beam decode.
 
     Args:
@@ -261,7 +295,7 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
                        sep_idx=sep_idx, oov_penalty=oov_penalty,
                        word_bonus=word_bonus, trie_word_id=trie_word_id,
                        word_lm_log=word_lm_log,
-                       word_lm_factor=word_lm_factor)
+                       word_lm_factor=word_lm_factor, merge=merge)
         (prefix, length, _, _, pb, pnb, _, _), _ = jax.lax.scan(
             step, (prefix, length, h1, h2, pb, pnb, node, pword), row
         )

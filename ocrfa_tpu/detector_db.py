@@ -55,15 +55,28 @@ class DBNetDetector:
 
     def __init__(self, params, backbone: str = "resnet18",
                  compute_dtype=jnp.float32, mesh=None,
-                 dcn_impl: str = "gather"):
+                 dcn_impl: str = "gather", dcn_guard: bool = True):
         """``dcn_impl="bounded2"/"bounded1"``: clamped dense-shift DCN —
         1.4-2.6x faster per stage on TPU (scripts/probe_dcn.py); exact vs
-        the default ``"gather"`` whenever trained offsets fit the radius."""
+        the default ``"gather"`` whenever trained offsets fit the radius.
+
+        ``dcn_guard`` (default on): whether a bounded impl validates the
+        checkpoint's actual offset magnitudes on the first batch it sees
+        and FALLS BACK to the exact gather formulation when they exceed
+        the radius.  Offsets are input-dependent, so this can't run at
+        build time — but one measured page is representative (self-trained
+        dbnet18: p95 8.1 px, EVAL_SELFTRAINED_DBNET_r3.json, where the
+        unguarded bounded1 path silently cratered e2e CER 0.05 -> 0.44).
+        """
         self.backbone = backbone
         self.compute_dtype = compute_dtype
         self.mesh = mesh
         self.device = "tpu"
         self.dcn_impl = dcn_impl
+        # bounded impls validate trained-offset magnitudes on first use
+        self._dcn_validated = not (dcn_guard
+                                   and dcn_impl.startswith("bounded"))
+        self.dcn_offset_stats = None
         if compute_dtype != jnp.float32:
             params = jax.tree.map(lambda a: jnp.asarray(a, compute_dtype), params)
         if mesh is not None:
@@ -74,15 +87,54 @@ class DBNetDetector:
         if "concat_attention" in params.get("decoder", {}):
             from ocrfa_tpu.checkpoints import asf_attention_type
 
-            decoder, attn = "asf", asf_attention_type(params)
+            self._decoder, self._attn = "asf", asf_attention_type(params)
         else:
-            decoder, attn = "fpn", "scale_spatial"
-        self._apply = jax.jit(
+            self._decoder, self._attn = "fpn", "scale_spatial"
+        self._apply = self._build_apply(dcn_impl)
+
+    def _build_apply(self, dcn_impl):
+        return jax.jit(
             lambda p, x: dbnet_apply(p, x.astype(self.compute_dtype),
-                                     backbone=backbone, decoder=decoder,
-                                     attention_type=attn,
+                                     backbone=self.backbone,
+                                     decoder=self._decoder,
+                                     attention_type=self._attn,
                                      dcn_impl=dcn_impl).astype(jnp.float32)
         )
+
+    def _validate_dcn_offsets(self, x):
+        """First-batch bounded-DCN guard: measure the checkpoint's offset
+        percentiles on one real canvas; fall back to exact gather when the
+        p95 |offset| exceeds the clamp radius (the bounded formulation is
+        only exact inside it — deform_conv_cuda_kernel.cu:570-633 semantics
+        are unbounded)."""
+        import warnings
+
+        from ocrfa_tpu.models.dbnet import dcn_offset_maps
+
+        radius = float(self.dcn_impl[len("bounded"):])
+        block = "basic" if self.backbone == "resnet18" else "bottleneck"
+
+        def stats(p, x1):
+            offs = dcn_offset_maps(p, x1, block=block)
+            flat = jnp.abs(jnp.concatenate(
+                [v.astype(jnp.float32).ravel() for v in offs.values()]))
+            return jnp.percentile(flat, jnp.asarray([50.0, 95.0, 99.0, 100.0]))
+
+        q = np.asarray(jax.jit(stats)(self.params["backbone"], x[:1]))
+        self.dcn_offset_stats = {
+            "p50": float(q[0]), "p95": float(q[1]),
+            "p99": float(q[2]), "max": float(q[3]), "radius": radius,
+        }
+        self._dcn_validated = True
+        if q[1] > radius:
+            warnings.warn(
+                f"dcn_impl={self.dcn_impl!r} is unsafe for this checkpoint: "
+                f"measured |offset| p95={q[1]:.2f} px exceeds the ±{radius:g} "
+                f"clamp (p99={q[2]:.2f}, max={q[3]:.2f}) — falling back to "
+                f"the exact 'gather' formulation. Pass dcn_guard=False to "
+                f"force the bounded path.", stacklevel=3)
+            self.dcn_impl = "gather"
+            self._apply = self._build_apply("gather")
 
     @classmethod
     def from_torch(cls, state_dict, backbone: str = "resnet18", **kwargs):
@@ -162,6 +214,8 @@ class DBNetDetector:
     def image2hmap(self, batch: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) normalised -> (N, H, W) probability heatmaps."""
         x = jnp.asarray(batch.astype(np.float32))
+        if not self._dcn_validated:
+            self._validate_dcn_offsets(x)
         if self.mesh is not None:
             from ocrfa_tpu.parallel.mesh import shard_batch
 

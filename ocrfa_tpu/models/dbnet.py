@@ -36,7 +36,8 @@ from ocrfa_tpu.ops.deform_conv import (
 # backbone
 
 
-def _dcn_conv2(p, x, stride: int = 1, dcn_impl: str = "gather"):
+def _dcn_conv2(p, x, stride: int = 1, dcn_impl: str = "gather",
+               offset_sink: list | None = None):
     """conv2_offset -> split offsets/mask -> DCNv2 (backbones/resnet.py:92-96).
 
     NB: the reference's Bottleneck passes a stride to conv2 but not to
@@ -54,6 +55,8 @@ def _dcn_conv2(p, x, stride: int = 1, dcn_impl: str = "gather"):
                 stride=stride, padding=1)
     offset = om[..., :18]
     mask = jax.nn.sigmoid(om[..., 18:])
+    if offset_sink is not None:
+        offset_sink.append(offset)
     if dcn_impl.startswith("bounded"):
         return modulated_deform_conv_bounded(
             x, offset, mask, p["conv2"]["w"], stride=stride, padding=1,
@@ -63,12 +66,12 @@ def _dcn_conv2(p, x, stride: int = 1, dcn_impl: str = "gather"):
 
 
 def _basic_block(p, x, stride: int = 1, train: bool = False,
-                 dcn_impl: str = "gather"):
+                 dcn_impl: str = "gather", offset_sink: list | None = None):
     residual = x
     out = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=stride, padding=1),
                           p["bn1"], train))
     if "conv2_offset" in p:
-        out = _dcn_conv2(p, out, dcn_impl=dcn_impl)
+        out = _dcn_conv2(p, out, dcn_impl=dcn_impl, offset_sink=offset_sink)
     else:
         out = conv2d(out, p["conv2"]["w"], padding=1)
     out = batch_norm(out, p["bn2"], train)
@@ -81,11 +84,12 @@ def _basic_block(p, x, stride: int = 1, train: bool = False,
 
 
 def _bottleneck(p, x, stride: int = 1, train: bool = False,
-                dcn_impl: str = "gather"):
+                dcn_impl: str = "gather", offset_sink: list | None = None):
     residual = x
     out = relu(batch_norm(conv2d(x, p["conv1"]["w"]), p["bn1"], train))
     if "conv2_offset" in p:
-        out = _dcn_conv2(p, out, stride=stride, dcn_impl=dcn_impl)
+        out = _dcn_conv2(p, out, stride=stride, dcn_impl=dcn_impl,
+                         offset_sink=offset_sink)
     else:
         out = conv2d(out, p["conv2"]["w"], stride=stride, padding=1)
     out = relu(batch_norm(out, p["bn2"], train))
@@ -99,7 +103,8 @@ def _bottleneck(p, x, stride: int = 1, train: bool = False,
 
 
 def resnet_backbone(p, x, block: str = "basic", train: bool = False,
-                    dcn_impl: str = "gather"):
+                    dcn_impl: str = "gather",
+                    offset_sink: list | None = None):
     """(N, H, W, 3) -> pyramid (c2 /4, c3 /8, c4 /16, c5 /32)."""
     block_fn = _basic_block if block == "basic" else _bottleneck
     x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3),
@@ -111,9 +116,10 @@ def resnet_backbone(p, x, block: str = "basic", train: bool = False,
         stride = 1 if name == "layer1" else 2
         blocks = p[name]
         x = block_fn(blocks[0], x, stride=stride, train=train,
-                     dcn_impl=dcn_impl)
+                     dcn_impl=dcn_impl, offset_sink=offset_sink)
         for bp in blocks[1:]:
-            x = block_fn(bp, x, train=train, dcn_impl=dcn_impl)
+            x = block_fn(bp, x, train=train, dcn_impl=dcn_impl,
+                         offset_sink=offset_sink)
         feats.append(x)
     return tuple(feats)
 
@@ -124,7 +130,11 @@ def dcn_offset_maps(p, x, block: str = "basic"):
 
     Used to decide whether ``dcn_impl="bounded<R>"`` is safe for a given
     set of trained weights: if the offset distribution fits ±R px, the
-    bounded formulation is exact (ops/deform_conv.py).
+    bounded formulation is exact (ops/deform_conv.py).  Mirrors the block
+    structure exactly: BasicBlock computes offsets on post-conv1 features
+    at the block's output stride; Bottleneck computes them on the 1x1
+    conv1 features with the stride on the offset conv itself (the
+    mmcv-correct placement, see ``_dcn_conv2``).
     """
     block_fn = _basic_block if block == "basic" else _bottleneck
     x = relu(batch_norm(conv2d(x, p["conv1"]["w"], stride=2, padding=3),
@@ -134,16 +144,23 @@ def dcn_offset_maps(p, x, block: str = "basic"):
     for name in ("layer1", "layer2", "layer3", "layer4"):
         stride = 1 if name == "layer1" else 2
         for j, bp in enumerate(p[name]):
+            bstride = stride if j == 0 else 1
             if "conv2_offset" in bp:
                 # offsets are computed on the block's post-conv1 features
-                pre = relu(batch_norm(
-                    conv2d(x, bp["conv1"]["w"],
-                           stride=stride if j == 0 else 1, padding=1),
-                    bp["bn1"], False))
-                om = conv2d(pre, bp["conv2_offset"]["w"],
-                            bp["conv2_offset"]["b"], padding=1)
+                if block == "basic":
+                    pre = relu(batch_norm(
+                        conv2d(x, bp["conv1"]["w"], stride=bstride,
+                               padding=1), bp["bn1"], False))
+                    om = conv2d(pre, bp["conv2_offset"]["w"],
+                                bp["conv2_offset"]["b"], padding=1)
+                else:
+                    pre = relu(batch_norm(conv2d(x, bp["conv1"]["w"]),
+                                          bp["bn1"], False))
+                    om = conv2d(pre, bp["conv2_offset"]["w"],
+                                bp["conv2_offset"]["b"], stride=bstride,
+                                padding=1)
                 offsets[f"{name}.{j}"] = om[..., :18]
-            x = block_fn(bp, x, stride=stride if j == 0 else 1)
+            x = block_fn(bp, x, stride=bstride)
     return offsets
 
 
@@ -305,7 +322,8 @@ ARCHS = {
 def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
                 bn_train: bool = False, decoder: str = "fpn",
                 attention_type: str = "scale_spatial",
-                dcn_impl: str = "gather"):
+                dcn_impl: str = "gather",
+                offset_sink: list | None = None):
     """BGR-mean-normalised page (N, H, W, 3) -> probability heatmap.
 
     ``backbone``: resnet18/resnet50 (resnet.py) or mobilenetv3_large/
@@ -324,7 +342,8 @@ def dbnet_apply(params, x, backbone: str = "resnet18", training: bool = False,
     else:
         arch = ARCHS[backbone]
         features = resnet_backbone(params["backbone"], x, block=arch["block"],
-                                   train=bn_train, dcn_impl=dcn_impl)
+                                   train=bn_train, dcn_impl=dcn_impl,
+                                   offset_sink=offset_sink)
     if decoder == "asf":
         return seg_detector_asf(params["decoder"], features, training=training,
                                 attention_type=attention_type)

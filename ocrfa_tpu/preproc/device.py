@@ -22,6 +22,52 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+_PAGE_WIRE_PX = {"u8": 1, "u4": 2, "u2": 4, "u1": 8}
+
+
+def pack_page(page_u8, wire: str = "u4"):
+    """Grey (H, W) uint8 page -> packed (H, ceil(W/px)) uint8 wire bytes.
+
+    The detection-page analog of the recognition ribbon's sub-byte wire
+    (``preproc.ribbon.pack_crops``): page uploads are the config-3 e2e
+    wall (a 736^2 u8 page is 542 KB through a ~20-45 MB/s relay), and the
+    heatmap survives 4-bit pixels — quantization is measured in
+    ``scripts/bench_pages.py --page-wire``.  LSB-first like the ribbon.
+    Ragged widths pad with 255 (background white); ``unpack_page`` slices
+    back to the true width.
+    """
+    import numpy as np
+
+    px = _PAGE_WIRE_PX[wire]
+    if px == 1:
+        return np.asarray(page_u8, np.uint8)
+    bits = 8 // px
+    h, w = page_u8.shape
+    wp = -(-w // px) * px
+    rows = np.full((h, wp), 255, np.uint8)
+    rows[:, :w] = page_u8
+    q = rows >> (8 - bits)
+    packed = np.zeros((h, wp // px), dtype=np.uint8)
+    for i in range(px):
+        packed |= q[:, i::px] << (i * bits)
+    return packed
+
+
+@partial(jax.jit, static_argnames=("wire", "width"))
+def unpack_page(packed_u8, wire: str, width: int):
+    """Inverse of :func:`pack_page` on-device: packed bytes -> (..., width)
+    uint8 grey page(s) (quantized levels rescaled onto 0..255).  Leading
+    batch dims pass through."""
+    px = _PAGE_WIRE_PX[wire]
+    if px == 1:
+        return packed_u8[..., :width]
+    bits = 8 // px
+    mask = (1 << bits) - 1
+    scale = jnp.uint8(255 // mask)
+    parts = [((packed_u8 >> (i * bits)) & mask) * scale for i in range(px)]
+    page = jnp.stack(parts, axis=-1).reshape(*packed_u8.shape[:-1], -1)
+    return page[..., :width]
+
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def crop_resize_normalize(page_u8, boxes, out_h: int = 64, out_w: int = 512):
@@ -115,8 +161,16 @@ class DevicePagePipeline:
 
         self._fused = jax.jit(_fused, static_argnames=("out_w",))
 
-    def put_page(self, page_grey_u8):
-        return jax.device_put(jnp.asarray(page_grey_u8, jnp.uint8))
+    def put_page(self, page_grey_u8, wire: str = "u8"):
+        """Upload a grey page; ``wire="u4"/"u2"/"u1"`` packs pixels on the
+        host and unpacks on-device, trading grey depth for relay bytes
+        (the page analog of the recognition ribbon wire).  The returned
+        device page is always (H, W) uint8 — downstream detection and
+        crop-recognition consume it unchanged."""
+        if wire == "u8":
+            return jax.device_put(jnp.asarray(page_grey_u8, jnp.uint8))
+        packed = jax.device_put(jnp.asarray(pack_page(page_grey_u8, wire)))
+        return unpack_page(packed, wire, page_grey_u8.shape[1])
 
     def recognize_boxes(self, page_dev, horizontal_list, keep_mask,
                         img_height: int = 64):

@@ -77,7 +77,8 @@ class ServingPipeline:
                  detector_calibration=None, detector_family: str = "craft",
                  db_backbone: str = "resnet18", db_min_size: int = 640,
                  db_threshold: float = 0.2, db_bbox_min_score: float = 0.2,
-                 db_bbox_min_size: int = 3, db_dcn_impl: str = "gather"):
+                 db_bbox_min_size: int = 3, db_dcn_impl: str = "gather",
+                 page_wire: str = "u8"):
         """``mesh``: replicate detector/recognizer params across a device
         mesh; page batches submitted via :meth:`submit_page_batch` then
         shard along the data axis.
@@ -95,8 +96,14 @@ class ServingPipeline:
         0.2 like the reference — CRAFT's ``text_threshold`` does not
         apply).
         ``db_min_size`` mirrors the reference MIN_DETECTION_SIZE=640 —
-        lower it for small test pages."""
+        lower it for small test pages.
+
+        ``page_wire="u4"/"u2"/"u1"``: sub-byte page upload (host pack ->
+        device unpack), the recognition-ribbon playbook applied to the
+        detection path — config-3 e2e is page-upload-bound on this relay
+        (PAGES_r3.json: 29-51 e2e vs 187-237 compute pages/s)."""
         self.mesh = mesh
+        self.page_wire = page_wire
         self.recognizer = recognizer
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
         self.canvas_size = canvas_size
@@ -242,7 +249,7 @@ class ServingPipeline:
     def submit_page(self, page_grey_u8: np.ndarray):
         """Dispatch device work for one page; returns an opaque handle."""
         h, w = page_grey_u8.shape
-        page_dev = self.page_pipe.put_page(page_grey_u8)
+        page_dev = self.page_pipe.put_page(page_grey_u8, wire=self.page_wire)
         if self.family == "dbnet":
             canvas_hw = self._canvas_hw_db(h, w)
             seeds = self._detect(self.det_params, page_dev,
@@ -258,7 +265,13 @@ class ServingPipeline:
         mesh when one is configured.  Returns a list of per-page handles."""
         batch = np.stack(pages)
         h, w = batch.shape[1:]
-        x = jnp.asarray(batch)
+        if self.page_wire != "u8":
+            from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+            packed = np.stack([pack_page(p, self.page_wire) for p in pages])
+            x = unpack_page(jnp.asarray(packed), self.page_wire, w)
+        else:
+            x = jnp.asarray(batch)
         if self.mesh is not None:
             from ocrfa_tpu.parallel.mesh import shard_batch
 

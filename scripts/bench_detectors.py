@@ -42,6 +42,10 @@ def main():
                     default="craft,dbnet,dbnet:bounded2,dbnet:bounded1",
                     help="comma list; dbnet:<impl> selects the DCN "
                          "implementation (gather/bounded2/bounded1)")
+    ap.add_argument("--page-wire", default="u8",
+                    help="e2e page upload wire: u8 (raw) or u4/u2/u1 "
+                         "(host-packed sub-byte pixels, unpacked "
+                         "on-device — preproc.device.pack_page)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -110,12 +114,23 @@ def main():
         # ---- e2e: fresh uploads, depth-pipelined; ONE seed fetch per
         # batch (a per-page np.asarray would serialize ~26 ms RTTs,
         # CLAUDE.md — the production loop packs per-page downloads the
-        # same way) ----
+        # same way).  --page-wire u4/u2/u1: host pack (timed — it's real
+        # serving work) -> packed upload -> on-device unpack ----
+        if args.page_wire != "u8":
+            from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+            def prep(b):
+                packed = np.stack(
+                    [pack_page(p, args.page_wire) for p in b])
+                return unpack_page(jnp.asarray(packed), args.page_wire, s)
+        else:
+            prep = jnp.asarray
+
         def window():
             t0 = time.perf_counter()
             inflight, done = [], 0
             for b in batches:
-                inflight.append(fn_upload(jnp.asarray(b)))
+                inflight.append(fn_upload(prep(b)))
                 if len(inflight) >= args.depth:
                     np.asarray(inflight.pop(0))
                     done += args.batch

@@ -1,4 +1,4 @@
-"""Diagnose the self-trained CRAFT arm's residual errors.
+"""Diagnose a self-trained detector arm's residual errors (CRAFT or DBNet).
 
 Loads the saved detector + fine-tuned recognizer blobs and re-runs the
 held-out pages of ``eval_selftrained.py`` (same seed), but instead of one
@@ -16,10 +16,16 @@ aggregate score it prints the failure inventory the aggregate hides:
   det-crop distribution the recognizer fine-tune should be imitating
   (det_crop_augment's pads/tilt ranges are guesses; this measures them).
 
+The detector kind comes from the blob's recorded meta (eval_selftrained
+--save-craft writes ``meta["detector"]``), so DBNet arms diagnose the same
+way — the r3 lesson: DB's fixed shrink/unclip postprocess produces a
+DIFFERENT margin distribution than CRAFT region boxes, and a recognizer
+fine-tuned to CRAFT-measured margins loses 3x CER through DBNet crops.
+
 Usage:
-  python scripts/diag_craft_arm.py --craft /tmp/craft_r3.pkl \
+  python scripts/diag_craft_arm.py --craft blobs/dbnet_arm_r3.pkl \
       --recognizer blobs/gen1t384_shaped.pkl \
-      --recognizer-ft /tmp/recog_ft_t384.pkl --eval-pages 32
+      --recognizer-ft blobs/gen1t384_ft_dbnet_r3.pkl --eval-pages 32
 """
 
 import argparse
@@ -83,8 +89,15 @@ def main():
                            if renderer.covers(c) and c in ocr.lang_char)
 
     with open(args.craft, "rb") as f:
-        det_params = pickle.load(f)["params"]
-    ocr.detector = CraftDetector(det_params)
+        det_blob = pickle.load(f)
+    det_params = det_blob["params"]
+    if det_blob.get("meta", {}).get("detector") == "dbnet":
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        ocr.detect_network = "dbnet18"
+        ocr.detector = DBNetDetector(det_params)
+    else:
+        ocr.detector = CraftDetector(det_params)
     ocr.recognizer = Recognizer(recog_params, conv,
                                 variant=meta.get("variant", "gen1"))
     ocr.converter = conv

@@ -119,7 +119,7 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                snapshot_path=None, snap_every=2000,
                renderer=None, ladder_samplers=None, ema_decay=None,
                init_params=None, warm_start=False, variant="gen1",
-               late_channel=None):
+               late_channel=None, distill=None):
     """Render synthetic Farsi lines and CTC-train a gen1 CRNN on a
     REPLAY-BUFFERED streaming corpus.
 
@@ -381,7 +381,10 @@ def train_gen1(charset, steps=600, train_pool=20, batch=64, oc=512, hs=512,
                            * (1 + jnp.cos(jnp.pi * (frac - 0.7) / 0.3))))
     opt = make_optimizer(lr)
     state = opt.init(params)
-    inner_step = make_train_step(opt, variant=variant)
+    # distill: framewise-KL teacher term (train.make_train_step) — the
+    # quality lever for thin serving towers (teach gen1t384 the full
+    # tower's frame posteriors instead of re-learning from CTC alone)
+    inner_step = make_train_step(opt, variant=variant, distill=distill)
 
     @jax.jit
     def step(p, s, im_u8, lb, ln):
@@ -642,6 +645,13 @@ def main():
                          "--steps MORE at the top ladder rung (model config "
                          "and renderer mode come from the blob meta; pass a "
                          "tail LR like --lr 2e-4)")
+    ap.add_argument("--distill-from", type=str, default=None,
+                    help="teacher blob (--save-params pickle, e.g. the "
+                         "stock 512/512 shaped snapshot): adds a framewise "
+                         "KL term against its frame posteriors — the thin-"
+                         "tower quality recovery lever (VERDICT r3 #3)")
+    ap.add_argument("--distill-weight", type=float, default=1.0)
+    ap.add_argument("--distill-temp", type=float, default=2.0)
     args = ap.parse_args()
 
     if args.cpu:
@@ -716,6 +726,19 @@ def main():
                 [renderer, FontLineRenderer(height=64, bold=True)])
         text_charset = "".join(c for c in rtl_letters(charset)
                                if renderer.covers(c))
+    distill = None
+    if args.distill_from and not args.load_params:
+        t_params, _tc, _tf, _tl, _tcal, tmeta = load_trained(
+            args.distill_from)
+        if tmeta["charset"] != charset:
+            raise SystemExit("--distill-from charset mismatch")
+        distill = dict(params=t_params,
+                       variant=tmeta.get("variant", "gen1"),
+                       weight=args.distill_weight, temp=args.distill_temp)
+        print(f"distilling from {args.distill_from} "
+              f"({tmeta.get('variant', 'gen1')}, {tmeta['oc']}/{tmeta['hs']}"
+              f", held ctc {_tl:.4f}) weight {args.distill_weight} "
+              f"temp {args.distill_temp}", flush=True)
     if not args.load_params:
         extra = {}
         if renderer is not None:
@@ -734,7 +757,8 @@ def main():
                            if args.save_params else None),
             ema_decay=(args.ema or None),
             init_params=init_params, warm_start=init_params is not None,
-            variant=variant, late_channel=late_channel, **extra)
+            variant=variant, late_channel=late_channel, distill=distill,
+            **extra)
     if args.save_params:
         save_trained(args.save_params, params, loss, calib_batches,
                      dict(charset=charset, oc=oc, hs=hs, glyph_w=glyph_w,

@@ -277,12 +277,17 @@ def expand_quads_for_db(line_quads, shrink_ratio=0.4, unclip_ratio=1.5,
 
 
 def train_dbnet_shaped(pages, line_quads, steps=1500, batch=8, lr=1e-3,
-                       log_every=100):
+                       log_every=100, dcn_impl="gather", offset_penalty=0.0):
     """Train dbnet18 (deformable ResNet18 + SegDetector) on a
     device-resident shaped-page corpus, mirroring ``train_craft_shaped``.
 
     Supervision quads are pre-expanded (``expand_quads_for_db``) so the
-    fixed-constant inference postprocess recovers full line extents."""
+    fixed-constant inference postprocess recovers full line extents.
+
+    ``dcn_impl="bounded1"`` + ``offset_penalty>0`` trains bounded-native:
+    clamped forward + a hinge keeping raw offsets inside the radius, so
+    the resulting checkpoint runs the 1.27x-CRAFT fast inference path
+    exactly (train.make_dbnet_train_step)."""
     import jax
     import jax.numpy as jnp
 
@@ -301,7 +306,8 @@ def train_dbnet_shaped(pages, line_quads, steps=1500, batch=8, lr=1e-3,
     params = init_dbnet(jax.random.PRNGKey(0), backbone="resnet18")
     opt = make_optimizer(lr)
     state = opt.init(params)
-    step = make_dbnet_train_step(opt)
+    step = make_dbnet_train_step(opt, dcn_impl=dcn_impl,
+                                 offset_penalty=offset_penalty)
     rng = np.random.default_rng(1)
     t0 = time.time()
     losses = []
@@ -434,6 +440,13 @@ def main():
     ap.add_argument("--text-threshold", type=float, default=0.5)
     ap.add_argument("--low-text", type=float, default=0.3)
     ap.add_argument("--link-threshold", type=float, default=0.4)
+    ap.add_argument("--dcn-impl", default="gather",
+                    help="DBNet training DCN impl: gather (exact) or "
+                         "bounded1/bounded2 (bounded-native training — "
+                         "pair with --offset-penalty)")
+    ap.add_argument("--offset-penalty", type=float, default=0.0,
+                    help="hinge weight keeping raw DCN offsets inside the "
+                         "impl radius (bounded-native training)")
     ap.add_argument("--no-font-mix", action="store_true",
                     help="snapshot was trained single-face (no Bold mix)")
     ap.add_argument("--small", action="store_true",
@@ -555,7 +568,8 @@ def main():
 
             det_params, losses, canvases, train_s = train_dbnet_shaped(
                 pages, det_lines, steps=args.steps, batch=args.batch,
-                lr=args.lr)
+                lr=args.lr, dcn_impl=args.dcn_impl,
+                offset_penalty=args.offset_penalty)
             apply_fn = lambda p, b: dbnet_apply(  # noqa: E731
                 p, b, backbone="resnet18")
         calib = [canvases[i:i + args.batch]
@@ -570,7 +584,8 @@ def main():
                     "losses": losses,
                     "meta": dict(detector=args.detector, base=args.base,
                                  steps=args.steps, page=page,
-                                 pages=args.pages)}
+                                 pages=args.pages, dcn_impl=args.dcn_impl,
+                                 offset_penalty=args.offset_penalty)}
             with open(args.save_craft, "wb") as f:
                 pickle.dump(blob, f)
 
@@ -703,7 +718,10 @@ def main():
         for impl in ("bounded2", "bounded1"):
             from ocrfa_tpu.detector_db import DBNetDetector as _DB
 
-            ocr.detector = _DB(det_params, dcn_impl=impl)
+            # dcn_guard=False: this measurement exists to show what the
+            # bounded path does to accuracy — the production guard would
+            # (correctly) refuse it for this checkpoint's offsets
+            ocr.detector = _DB(det_params, dcn_impl=impl, dcn_guard=False)
             det_b, rec_b, _wb = run_eval(
                 ft if ft is not None else recog_params)
             metrics[f"detection_{impl}"] = det_b

@@ -78,6 +78,27 @@ class TestDeviceBeam:
         device = decode_beams_to_text(prefixes, lengths, CLASSES)[0]
         assert device == expected
 
+    def test_dense_merge_matches_sort_merge(self):
+        """merge="dense" (the TPU-friendly (m, m) equality merge, no
+        sort/scatter) is exactly the lexsort+segment baseline — same
+        stable smallest-index representative per equality class."""
+        rng = np.random.default_rng(3)
+        mat = rng.random((4, 24, 12))
+        mat /= mat.sum(axis=2, keepdims=True)
+        lp = np.log(mat)
+        pd, ld, sd = ctc_beam_search_device(lp, beam_width=8, topk=6,
+                                            merge="dense")
+        ps, ls, ss = ctc_beam_search_device(lp, beam_width=8, topk=6,
+                                            merge="sort")
+        np.testing.assert_array_equal(np.asarray(ld), np.asarray(ls))
+        for i in range(lp.shape[0]):
+            for b in range(8):
+                n = int(np.asarray(ld)[i, b])
+                np.testing.assert_array_equal(
+                    np.asarray(pd)[i, b, :n], np.asarray(ps)[i, b, :n])
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(ss),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_batch_shapes(self):
         rng = np.random.default_rng(1)
         mat = rng.random((6, 20, 10))

@@ -122,6 +122,55 @@ class TestDetectionSeeding:
             np.testing.assert_allclose(a, b)
 
 
+class TestPageWire:
+    def test_pack_unpack_u8_is_identity(self):
+        from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+        page = np.random.default_rng(0).integers(
+            0, 256, (32, 41), dtype=np.uint8)
+        out = np.asarray(unpack_page(pack_page(page, "u8"), "u8", 41))
+        np.testing.assert_array_equal(out, page)
+
+    @pytest.mark.parametrize("wire,max_err", [("u4", 15), ("u2", 63)])
+    def test_pack_unpack_quantization_bound(self, wire, max_err):
+        from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+        page = np.random.default_rng(1).integers(
+            0, 256, (16, 37), dtype=np.uint8)  # ragged width
+        out = np.asarray(unpack_page(
+            pack_page(page, wire), wire, page.shape[1]))
+        assert out.shape == page.shape
+        assert np.abs(out.astype(int) - page.astype(int)).max() <= max_err
+        # quantization is floor + rescale, so quantized values round-trip
+        out2 = np.asarray(unpack_page(pack_page(out, wire), wire, 37))
+        np.testing.assert_array_equal(out2, out)
+
+    def test_unpack_batched(self):
+        from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+        pages = np.random.default_rng(2).integers(
+            0, 256, (3, 8, 24), dtype=np.uint8)
+        packed = np.stack([pack_page(p, "u4") for p in pages])
+        out = np.asarray(unpack_page(packed, "u4", 24))
+        ref = np.stack(
+            [np.asarray(unpack_page(pack_page(p, "u4"), "u4", 24))
+             for p in pages])
+        np.testing.assert_array_equal(out, ref)
+
+    def test_serving_pipeline_u4_page_wire(self, pipeline):
+        """u4 page wire produces the same detection count on clean pages
+        (16 grey levels are plenty for the heatmap thresholds)."""
+        from ocrfa_tpu.serving import ServingPipeline
+
+        pipe4 = ServingPipeline(
+            pipeline.det_params, pipeline.recognizer, canvas_size=128,
+            page_wire="u4")
+        page = synthetic_page(7)
+        r8 = pipeline.finish_page(pipeline.submit_page(page))
+        r4 = pipe4.finish_page(pipe4.submit_page(page))
+        assert len(r4) == len(r8)
+
+
 @pytest.mark.slow
 class TestMultichipServeScript:
     def test_runs_on_virtual_mesh(self, tmp_path):

@@ -49,6 +49,54 @@ class TestCTCLoss:
         assert np.abs(np.asarray(g)).max() > 0
 
 
+class TestDistillStep:
+    def test_kd_term_added_and_optimizes_toward_teacher(self):
+        """make_train_step(distill=...) adds the framewise-KL teacher term:
+        the distill loss exceeds the plain CTC loss at step 0 (positive KL
+        against a different teacher) and repeated steps shrink the KL."""
+        import jax
+        import jax.numpy as jnp
+
+        from ocrfa_tpu.models.crnn import crnn_apply, init_crnn_gen1
+        from ocrfa_tpu.train import (ctc_loss, make_optimizer,
+                                     make_train_step)
+
+        rng = np.random.default_rng(0)
+        images = rng.standard_normal((2, 64, 128, 1)).astype(np.float32) * 0.3
+        labels = np.array([[1, 2, 0], [3, 1, 2]], np.int32)
+        lengths = np.array([2, 3], np.int32)
+
+        student = init_crnn_gen1(jax.random.PRNGKey(0), num_class=5,
+                                 output_channel=64, hidden_size=64)
+        teacher = init_crnn_gen1(jax.random.PRNGKey(7), num_class=5,
+                                 output_channel=64, hidden_size=64)
+        # random-init logits are ~1e-4 (near-uniform posteriors, KL ~ 0);
+        # give the teacher a decisive head so there is something to match
+        teacher["pred"]["b"] = jnp.asarray(
+            np.array([0.0, 4.0, -2.0, 1.0, -3.0], np.float32))
+        opt = make_optimizer(1e-3)
+
+        plain = make_train_step(opt)
+        kd = make_train_step(opt, distill=dict(params=teacher, weight=1.0,
+                                               temp=2.0))
+        s0 = opt.init(student)
+        _, _, l_plain = plain(student, s0, images, labels, lengths)
+        p, s, l_kd = kd(student, s0, images, labels, lengths)
+        assert np.isfinite(float(l_kd))
+        assert float(l_kd) > float(l_plain)  # the KL term is live
+
+        def kl_to_teacher(sp):
+            t = jax.nn.log_softmax(crnn_apply(teacher, images), axis=-1)
+            st = jax.nn.log_softmax(
+                crnn_apply(sp, images, train=True), axis=-1)
+            return float(jnp.mean(jnp.sum(jnp.exp(t) * (t - st), axis=-1)))
+
+        before = kl_to_teacher(student)
+        for _ in range(8):
+            p, s, _l = kd(p, s, images, labels, lengths)
+        assert kl_to_teacher(p) < before
+
+
 class TestStreamingTrainer:
     def test_train_gen1_streams_and_returns_calibrated_params(self):
         """The streaming trainer (scripts/eval_farsi.train_gen1) must run
