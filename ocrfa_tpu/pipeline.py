@@ -109,6 +109,11 @@ class Recognizer:
 
             params = replicate(params, mesh)
         self.params = jax.device_put(params)
+        # the variant/quantization-resolved forward (params, f32 crops) ->
+        # logits; consumers composing their own fused programs (e.g.
+        # DevicePagePipeline) MUST use this instead of raw crnn_apply —
+        # quantized towers transform the param tree
+        self.model_fn = model_fn
         self._apply = jax.jit(model_fn)
 
         # fused fast path: one dispatch for on-device normalisation + forward
@@ -205,19 +210,22 @@ class Recognizer:
         return payload, n
 
     def predict_ribbon_async(self, crops, keep_mask, out_w: int,
-                             img_h: int = 64, wire: str = "u8"):
+                             img_h: int = 64, wire: str = "u8",
+                             u1_threshold: int | None = None):
         """Dispatch native-resolution crops through the ribbon wire format.
 
         Crops cross the link as one packed byte ribbon (native size, 2-4x
         fewer bytes than padded batches; ``wire="u4"`` halves that again
         with 4-bit pixels); resize-to-bucket, forward and CTC postprocess
         run as one device program.  Returns the same handle shape as
-        :meth:`predict_async`.
+        :meth:`predict_async`.  ``u1_threshold`` calibrates the u1
+        binarisation cut (see :func:`ocrfa_tpu.preproc.ribbon.pack_crops`
+        — u1 at the default cut costs thin towers real CER; qualify it).
         """
         from ocrfa_tpu.preproc.ribbon import pack_crops
 
         n = len(crops)
-        flat, meta = pack_crops(crops, wire=wire)
+        flat, meta = pack_crops(crops, wire=wire, u1_threshold=u1_threshold)
         flat = jnp.asarray(flat)
         meta_dev = jnp.asarray(meta)
         if self.mesh is not None:

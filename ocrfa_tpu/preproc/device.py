@@ -140,11 +140,13 @@ class DevicePagePipeline:
         from ocrfa_tpu.decode.device import (compact_indices, ctc_confidences,
                                              pack_decode_payload,
                                              postprocess_logits)
-        from ocrfa_tpu.models.crnn import crnn_apply
 
         self.recognizer = recognizer
         self.use_pallas = use_pallas
         nc = recognizer.converter.num_classes
+        # the recognizer's variant/quantization-resolved forward — raw
+        # crnn_apply would reject a quantized tower's transformed params
+        model_fn = recognizer.model_fn
 
         def _fused(params, page_u8, boxes, keep_mask, *, out_w):
             if use_pallas:
@@ -154,7 +156,7 @@ class DevicePagePipeline:
             else:
                 crops, _ = crop_resize_normalize(page_u8, boxes, out_w=out_w)
             crops = crops.astype(recognizer.compute_dtype)
-            logits = crnn_apply(params, crops, variant=recognizer.variant)
+            logits = model_fn(params, crops)
             indices, values = postprocess_logits(logits.astype(jnp.float32), keep_mask)
             return pack_decode_payload(compact_indices(indices, nc),
                                        ctc_confidences(indices, values))

@@ -51,7 +51,8 @@ def stride_bucket(width: int) -> int:
     return STRIDE_LADDER[-1]
 
 
-def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
+def pack_crops(crops, stride: int | None = None, wire: str = "u8",
+               u1_threshold: int | None = None):
     """Pack grey uint8 crops into ``(rows, meta)`` device-upload arrays.
 
     ``rows`` is (R, stride) uint8 — crop k occupies rows
@@ -66,8 +67,13 @@ def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
 
     * ``"u4"`` — 16 grey levels, 2 px/byte.  Negligible CER impact.
     * ``"u2"`` — 4 levels, 4 px/byte.
-    * ``"u1"`` — binary (threshold 128), 8 px/byte.  For clean scans /
-      thresholded documents; 8x fewer bytes than u8.
+    * ``"u1"`` — binary, 8 px/byte; 8x fewer bytes than u8.  NOT
+      accuracy-free on anti-aliased renders: measured +0.040 CER on the
+      gen1t384 thin tower and +0.037 on gen1w8 at the default threshold
+      (EVAL_SHAPED_T384_r3/W8_r3) vs u4's +0.001 — binarisation erases the
+      stroke-weight shading thin towers lean on.  ``u1_threshold`` (default
+      128) calibrates the cut per tower/corpus; qualify on a sample before
+      shipping u1, or stay on u4.
 
     Use ``"u8"`` when wire exactness matters.
     """
@@ -101,7 +107,10 @@ def pack_crops(crops, stride: int | None = None, wire: str = "u8"):
     meta[n:] = meta[0]
     if wire != "u8":
         bits = 8 // px_per_byte
-        q = rows >> (8 - bits)  # quantize to `bits` bits
+        if wire == "u1" and u1_threshold is not None:
+            q = (rows >= u1_threshold).astype(np.uint8)
+        else:
+            q = rows >> (8 - bits)  # quantize to `bits` bits
         # pixel i of each byte sits at bit position i*bits (LSB first)
         packed = np.zeros((rows.shape[0], stride // px_per_byte), dtype=np.uint8)
         for i in range(px_per_byte):

@@ -652,6 +652,9 @@ def main():
                          "tower quality recovery lever (VERDICT r3 #3)")
     ap.add_argument("--distill-weight", type=float, default=1.0)
     ap.add_argument("--distill-temp", type=float, default=2.0)
+    ap.add_argument("--u1-sweep", type=str, default=None,
+                    help='comma list of u1 binarisation thresholds to CER-'
+                         'sweep on the serving path (e.g. "96,128,160,192")')
     args = ap.parse_args()
 
     if args.cpu:
@@ -820,6 +823,16 @@ def main():
     fast1_res = fast.collect(
         fast.predict_ribbon_async(crops, keep, out_w=max_width, wire="u1"))
     fast1_texts = [t for t, _ in fast1_res]
+    # u1 binarisation-threshold sweep (VERDICT r3 #6): the default 128 cut
+    # costs thin towers ~+0.04 CER; measure whether a calibrated cut (or
+    # none) qualifies u1 for this tower
+    u1_sweep = {}
+    if args.u1_sweep:
+        for thr in (int(t) for t in args.u1_sweep.split(",")):
+            res_t = fast.collect(fast.predict_ribbon_async(
+                crops, keep, out_w=max_width, wire="u1", u1_threshold=thr))
+            u1_sweep[str(thr)] = round(
+                cer([t for t, _ in res_t], eval_visual), 6)
 
     # ---- reference torch pipeline on the exported weights -----------------
     import torch
@@ -866,6 +879,7 @@ def main():
         "cer_serving_int8_vs_reference": round(cer(fast_texts, ref_texts), 6),
         "cer_serving_int8_u4wire_vs_truth": round(cer(fast4_texts, eval_visual), 6),
         "cer_serving_int8_u1wire_vs_truth": round(cer(fast1_texts, eval_visual), 6),
+        **({"cer_u1_threshold_sweep": u1_sweep} if u1_sweep else {}),
         "latency_ms_p50_single_line": round(float(np.percentile(lat, 50)), 2),
         "latency_ms_p95_single_line": round(float(np.percentile(lat, 95)), 2),
     }

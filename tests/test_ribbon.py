@@ -197,6 +197,22 @@ class TestSubByteWires:
         out1, _ = ribbon_to_batch(*pack_crops([crop], wire="u1"), out_w=128, wire="u1")
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out8), atol=1e-6)
 
+    def test_u1_threshold_calibration(self):
+        """u1_threshold moves the binarisation cut: a 150-grey pixel is
+        white at the default 128 cut, black at a 200 cut."""
+        crop = np.full((8, 16), 150, np.uint8)
+        crop[:, 8:] = 250
+        lo, _ = pack_crops([crop], wire="u1")  # default: 150 >= 128 -> 1
+        hi, _m = pack_crops([crop], wire="u1", u1_threshold=200)
+        out_lo, _ = ribbon_to_batch(lo, _m, out_w=64, wire="u1")
+        out_hi, _ = ribbon_to_batch(hi, _m, out_w=64, wire="u1")
+        a = np.asarray(out_lo)[0, 0, 0, 0]   # left half, default cut
+        b = np.asarray(out_hi)[0, 0, 0, 0]   # left half, 200 cut
+        assert abs(a - 1.0) < 1e-5    # normalised white
+        assert abs(b + 1.0) < 1e-5    # normalised black
+        # right half (250) is white under both cuts
+        assert abs(np.asarray(out_hi)[0, 0, 40, 0] - 1.0) < 1e-5
+
     def test_u2_exact_for_4level_content(self):
         rng = np.random.default_rng(10)
         crop = (rng.integers(0, 4, (32, 64), dtype=np.uint8) * 85).astype(np.uint8)
