@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--beam-width", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--merge", default="dense",
+                    help="beam merge impl: dense ((m,m) equality, TPU "
+                         "fast path) or sort (lexsort+segment baseline)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
@@ -80,7 +83,7 @@ def main():
         logp = jax.nn.log_softmax(
             jnp.where(keep[None, None, :], logits, -1e9))
         prefixes, lengths, scores = ctc_beam_search_device(
-            logp, beam_width=bw, topk=bw)
+            logp, beam_width=bw, topk=bw, merge=args.merge)
         # reduce to one device scalar per call — fetching the full beam
         # tensor would measure the relay, not the decode (CLAUDE.md)
         return (prefixes.sum() + lengths.sum()
@@ -108,6 +111,7 @@ def main():
         "greedy_lines_per_sec": round(greedy, 1),
         "beam_fraction_of_greedy": round(beam / greedy, 3),
         "beam_width": bw,
+        "merge": args.merge,
         "batch": args.batch,
         "width": args.width,
         "unit": "img/s/chip (compute-only, device-resident input)",

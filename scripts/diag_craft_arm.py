@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--low-text", type=float, default=0.3)
     ap.add_argument("--link-threshold", type=float, default=0.4)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--json-out", type=str, default=None,
+                    help="write the measured crop-distribution stats as "
+                         "JSON (for chaining a matched fine-tune)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -181,6 +184,27 @@ def main():
     cers = np.asarray([m[0] for m in matched])
     print(f"\nmatched_line_cer={cers.mean():.4f}  "
           f"exact={float((cers == 0).mean()):.4f}")
+    if args.json_out:
+        import json
+
+        def pcts(v):
+            v = np.asarray(v)
+            return {p: round(float(np.percentile(v, p)), 2)
+                    for p in (5, 50, 95)}
+
+        stats_json = {
+            "n_matched": len(matched),
+            "n_unmatched": len(unmatched),
+            "height": pcts(heights),
+            "tilt_deg": pcts(tilts),
+            "left_out": pcts(dx0),
+            "right_out": pcts(dx1),
+            "top_out": pcts(dy0),
+            "bot_out": pcts(dy1),
+            "matched_line_cer": round(float(cers.mean()), 6),
+            "matched_exact": round(float((cers == 0).mean()), 4),
+        }
+        Path(args.json_out).write_text(json.dumps(stats_json, indent=2))
     return 0
 
 

@@ -145,7 +145,8 @@ def make_shaped_pages(n, renderer, text_charset, page=512, seed=0,
     return pages, line_quads, char_structs, records
 
 
-def det_crop_augment(crop, r):
+def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
+                     tilt: float = 0.02, clean_p: float = 0.15):
     """Simulate the detection->crop pipeline on a clean rendered line.
 
     A trained detector's box is never the exact render rect: it carries
@@ -157,23 +158,38 @@ def det_crop_augment(crop, r):
     (four_point_transform + compute_ratio_and_resize, the exact
     deployment code path) closes the domain gap.
 
-    Pad/tilt ranges are set to the MEASURED box-vs-GT distribution of a
-    trained detector on held-out pages (scripts/diag_craft_arm.py,
-    n=185 matched boxes: top/bottom margin p5-p95 = 6-7 px, left/right
-    0-6 px, tilt identically 0) rather than guessed wide ranges — the
-    r3 audit showed the earlier +-0.1 rad / 0-12 px augment trained a
-    far broader domain than deployment ever produces, costing matched
-    CER.  15% of crops pass through clean as alignment anchors.
+    Pad/tilt ranges must be set to the MEASURED box-vs-GT distribution
+    of the detector arm being deployed against
+    (``scripts/diag_craft_arm.py``) — the defaults are the CRAFT arm's
+    (n=185 matched boxes: top/bottom margin p5-p95 = 6-7 px, left/right
+    0-6 px, tilt identically 0).  The r3 lesson, twice over: guessed
+    wide ranges (±0.1 rad / 0-12 px) cost matched CER, and one arm's
+    measured ranges do NOT transfer to the other — DB's fixed
+    shrink/unclip postprocess produces different margins than CRAFT
+    region boxes, and the CRAFT-tuned recognizer lost 3x CER through
+    DBNet crops (EVAL_SELFTRAINED_DBNET_r3).  ``clean_p`` of crops pass
+    through clean as alignment anchors.
     """
     from ocrfa_tpu.geometry.transform import four_point_transform
     from ocrfa_tpu.preproc.host import compute_ratio_and_resize
 
-    if r.random() < 0.15:
+    if r.random() < clean_p:
         return crop
     h, w = crop.shape
-    pt, pb = int(r.integers(4, 9)), int(r.integers(4, 9))
-    pl, pr = int(r.integers(0, 8)), int(r.integers(0, 8))
-    ang = float(r.uniform(-0.02, 0.02))
+    pt, pb = int(r.integers(*pad_tb)), int(r.integers(*pad_tb))
+    pl, pr = int(r.integers(*pad_lr)), int(r.integers(*pad_lr))
+    # NEGATIVE pads = the detector's box clips INSIDE the GT extent (DB's
+    # fixed shrink/unclip roundtrip does this on tall lines) — crop the
+    # source before padding
+    ct, cb = max(-pt, 0), max(-pb, 0)
+    cl, cr = max(-pl, 0), max(-pr, 0)
+    if ct or cb or cl or cr:
+        if h - ct - cb < 8 or w - cl - cr < 4:
+            return crop
+        crop = crop[ct:h - cb, cl:w - cr]
+        h, w = crop.shape
+        pt, pb, pl, pr = max(pt, 0), max(pb, 0), max(pl, 0), max(pr, 0)
+    ang = float(r.uniform(-tilt, tilt))
     ch, cw = h + pt + pb, w + pl + pr
     border = int(np.ceil(abs(ang) * np.hypot(ch, cw) / 2)) + 2
     canvas = np.full((ch + 2 * border, cw + 2 * border), 250, np.uint8)
@@ -465,6 +481,12 @@ def main():
                          "--save-recognizer-ft pickle instead of the "
                          "--recognizer snapshot")
     ap.add_argument("--save-recognizer-ft", type=str, default=None)
+    ap.add_argument("--ft-pad-tb", default="4,9",
+                    help="fine-tune augment top/bottom pad range (px, "
+                         "exclusive hi) — set to the arm's MEASURED crop "
+                         "margins from diag_craft_arm.py")
+    ap.add_argument("--ft-pad-lr", default="0,8")
+    ap.add_argument("--ft-tilt", type=float, default=0.02)
     ap.add_argument("--load-recognizer-ft", type=str, default=None)
     ap.add_argument("--show", type=int, default=0,
                     help="print the first N matched (pred, gt) pairs")
@@ -609,12 +631,21 @@ def main():
 
             with open(args.finetune_from, "rb") as f:
                 start = pickle.load(f)["params"]
+        pad_tb = tuple(int(v) for v in args.ft_pad_tb.split(","))
+        pad_lr = tuple(int(v) for v in args.ft_pad_lr.split(","))
+
+        def aug(crop, r):
+            return det_crop_augment(crop, r, pad_tb=pad_tb, pad_lr=pad_lr,
+                                    tilt=args.ft_tilt)
+
         ft, _c2, _f2, ft_loss, _cb = train_gen1(
             meta["charset"], steps=args.finetune_steps, batch=64,
             oc=meta["oc"], hs=meta["hs"], lr=2e-4,
             renderer=renderer, short_sampler=mk(1, 3), ladder_samplers=[],
-            pool_sampler=mk(2, 9), augment=det_crop_augment,
+            pool_sampler=mk(2, 9), augment=aug,
             init_params=start, warm_start=True,
+            variant=meta.get("variant", "gen1"),
+            late_channel=meta.get("late_channel"),
             buffer_batches=24, reuse=12)
         print(f"fine-tune final ctc loss {float(ft_loss):.4f}", flush=True)
         if args.save_recognizer_ft:
