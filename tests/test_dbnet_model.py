@@ -153,6 +153,41 @@ class TestDBNetGraph:
         assert det.dcn_impl == "bounded2"
         assert det.dcn_offset_stats is None
 
+    def test_zoo_init_convention_passes_guard(self):
+        """Zoo applicability of the bounded fast path (VERDICT r3 #2):
+        reference-architecture checkpoints ZERO-init their DCN offset
+        convs — weight AND bias (dcn/modules/deform_conv.py:74-76,
+        146-149 ``init_offset``) — so a zoo-layout state dict at that
+        convention converts to offsets == 0 everywhere and bounded1 is
+        EXACT for it.  Trained offsets can still grow past the radius
+        (self-trained dbnet18 measured p95 8.1 px,
+        EVAL_SELFTRAINED_DBNET_r3.json) which is what the first-batch
+        guard catches; real zoo release files remain unmeasurable here
+        (no network egress)."""
+        import warnings
+
+        import jax
+
+        from ocrfa_tpu.checkpoints import export_dbnet
+        from ocrfa_tpu.detector_db import DBNetDetector
+
+        params = dbnet.init_dbnet(jax.random.PRNGKey(5), backbone="resnet18")
+        sd = export_dbnet(params, data_parallel_prefix=True)
+        n_off = 0
+        for k in sd:
+            if ".conv2_offset." in k:
+                sd[k] = np.zeros_like(sd[k])
+                n_off += 1
+        assert n_off  # resnet18 stages 2-4 carry DCN offset convs
+        det = DBNetDetector.from_torch(sd, dcn_impl="bounded1")
+        x = np.random.default_rng(2).standard_normal(
+            (1, 64, 96, 3)).astype(np.float32)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            det.image2hmap(x)
+        assert det.dcn_impl == "bounded1"
+        assert det.dcn_offset_stats["max"] == 0.0
+
     def test_resnet50_init_runs(self):
         import jax
 
