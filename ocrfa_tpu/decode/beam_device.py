@@ -38,19 +38,22 @@ def _logaddexp(a, b):
     return jnp.where(mx <= NEG_INF / 2, NEG_INF, safe)
 
 
-def _beam_step(state, logp, beam_width: int, topk: int, max_t: int,
+def _beam_step(state, xs, beam_width: int, topk: int, max_t: int,
                lm_log=None, lm_factor: float = 0.0,
                trie_trans=None, trie_word=None, sep_idx: int = -1,
                oov_penalty: float = -4.0, word_bonus: float = 0.0,
                trie_word_id=None, word_lm_log=None,
                word_lm_factor: float = 0.0, merge: str = "dense"):
+    # top-K non-blank classes are precomputed for ALL frames in one
+    # batched sort before the scan (ctc_beam_search_device) — a per-step
+    # top_k would sit on the sequential scan chain, where T sorts in a
+    # row cost far more than one (T, C) sort that XLA parallelises
     prefix, length, h1, h2, pb, pnb, node, pword = state
+    logp, top_vals, top_idx = xs
     b = beam_width
     k = topk
 
     ptot = _logaddexp(pb, pnb)
-    top_vals, top_idx = jax.lax.top_k(logp[1:], k)  # non-blank classes
-    top_idx = top_idx + 1
     logp_blank = logp[0]
 
     last = prefix[jnp.arange(b), jnp.maximum(length - 1, 0)]
@@ -296,8 +299,11 @@ def ctc_beam_search_device(log_probs, beam_width: int = 8, topk: int = 8,
                        word_bonus=word_bonus, trie_word_id=trie_word_id,
                        word_lm_log=word_lm_log,
                        word_lm_factor=word_lm_factor, merge=merge)
+        top_vals, top_idx = jax.lax.top_k(row[:, 1:], topk)  # (T, K)
         (prefix, length, _, _, pb, pnb, _, _), _ = jax.lax.scan(
-            step, (prefix, length, h1, h2, pb, pnb, node, pword), row
+            step,
+            (prefix, length, h1, h2, pb, pnb, node, pword),
+            (row, top_vals, top_idx + 1),
         )
         score = _logaddexp(pb, pnb)
         order = jnp.argsort(-score)
