@@ -72,6 +72,14 @@ def main():
                 print(f"[await_relay] job done rc=0 ({ran_s:.0f}s)",
                       flush=True)
                 return 0
+            if rc == 2 and ran_s < 30.0:
+                # argparse exits 2 on a usage error, near-instantly —
+                # retrying would loop forever on a typo'd flag (observed:
+                # a negative flag value without the `=` form)
+                print(f"[await_relay] job rc=2 after {ran_s:.0f}s — "
+                      "usage error (argparse), not a relay flap; "
+                      "aborting", flush=True)
+                return rc
             if ran_s > args.early_s or launches > args.retries:
                 print(f"[await_relay] job rc={rc} after {ran_s:.0f}s — "
                       "not retrying (ran past --early-s or out of "

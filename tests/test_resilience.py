@@ -107,6 +107,28 @@ class TestAwaitRelaySupervisor:
         assert mod.main() == 0
         assert calls["n"] == 2  # relaunched once after the flap death
 
+    def test_usage_error_aborts_instead_of_relaunching(self, monkeypatch):
+        """rc=2 within seconds is an argparse usage error (a typo'd flag),
+        not a relay flap — the supervisor must abort, not loop forever
+        re-awaiting (observed with a negative flag value passed without
+        the `=` form)."""
+        mod = self._load()
+        monkeypatch.setattr(mod, "relay_up", lambda *a, **k: True)
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        calls = {"n": 0}
+
+        def fake_call(cmd):
+            calls["n"] += 1
+            return 2  # instant argparse death, every launch
+
+        monkeypatch.setattr(mod.subprocess, "call", fake_call)
+        monkeypatch.setattr(
+            mod.sys, "argv",
+            ["await_relay.py", "--stable-probes", "1", "--stable-gap-s",
+             "0", "--poll-s", "0", "--", "prog", "--bogus"])
+        assert mod.main() == 2
+        assert calls["n"] == 1  # no relaunch loop
+
     def test_gives_up_after_max_wait(self, monkeypatch):
         mod = self._load()
         monkeypatch.setattr(mod, "relay_up", lambda *a, **k: False)
