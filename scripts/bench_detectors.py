@@ -43,11 +43,25 @@ def main():
                     help="comma list; dbnet:<impl> selects the DCN "
                          "implementation (gather/bounded2/bounded1)")
     ap.add_argument("--page-wire", default="u8",
-                    help="e2e page upload wire: u8 (raw) or u4/u2/u1 "
-                         "(host-packed sub-byte pixels, unpacked "
-                         "on-device — preproc.device.pack_page)")
+                    help="e2e page upload wire(s), comma list: u8 (raw) "
+                         "and/or u4/u2/u1 (host-packed sub-byte pixels, "
+                         "unpacked on-device — preproc.device.pack_page). "
+                         "Each wire gets its own e2e windows; compute and "
+                         "latency are wire-independent")
+    ap.add_argument("--cpu", action="store_true",
+                    help="CPU smoke (tiny shapes)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.size, args.batch, args.batches, args.windows = 96, 2, 2, 1
+    else:
+        from ocrfa_tpu.utils.resilience import require_backend
+
+        require_backend()
 
     from ocrfa_tpu.utils.cache import enable_compilation_cache
 
@@ -116,17 +130,18 @@ def main():
         # CLAUDE.md — the production loop packs per-page downloads the
         # same way).  --page-wire u4/u2/u1: host pack (timed — it's real
         # serving work) -> packed upload -> on-device unpack ----
-        if args.page_wire != "u8":
+        def make_prep(wire):
+            if wire == "u8":
+                return jnp.asarray
             from ocrfa_tpu.preproc.device import pack_page, unpack_page
 
             def prep(b):
-                packed = np.stack(
-                    [pack_page(p, args.page_wire) for p in b])
-                return unpack_page(jnp.asarray(packed), args.page_wire, s)
-        else:
-            prep = jnp.asarray
+                packed = np.stack([pack_page(p, wire) for p in b])
+                return unpack_page(jnp.asarray(packed), wire, s)
 
-        def window():
+            return prep
+
+        def window(prep):
             t0 = time.perf_counter()
             inflight, done = [], 0
             for b in batches:
@@ -147,8 +162,13 @@ def main():
                 pipe.det_params, x, target_hw=target_hw,
                 canvas_hw=canvas_hw)
 
-        window()
-        e2e = [window() for _ in range(args.windows)]
+        wires = args.page_wire.split(",")
+        e2e_by_wire = {}
+        for wire in wires:
+            prep = make_prep(wire)
+            window(prep)
+            e2e_by_wire[wire] = [window(prep) for _ in range(args.windows)]
+        e2e = e2e_by_wire[wires[0]]
 
         # ---- single-page dispatch latency ----
         lat = []
@@ -167,6 +187,9 @@ def main():
             "p50_page_ms": round(float(np.percentile(lat, 50)), 2),
             "p95_page_ms": round(float(np.percentile(lat, 95)), 2),
         }
+        for wire, vals in e2e_by_wire.items():
+            results["families"][name][f"e2e_{wire}_pages_per_sec"] = round(
+                statistics.median(vals), 1)
         print(name, json.dumps(results["families"][name]), flush=True)
 
     c = results["families"].get("craft", {}).get("compute_pages_per_sec")
