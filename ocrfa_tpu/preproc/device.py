@@ -31,8 +31,10 @@ def pack_page(page_u8, wire: str = "u4"):
     The detection-page analog of the recognition ribbon's sub-byte wire
     (``preproc.ribbon.pack_crops``): page uploads are the config-3 e2e
     wall (a 736^2 u8 page is 542 KB through a ~20-45 MB/s relay), and the
-    heatmap survives 4-bit pixels — quantization is measured in
-    ``scripts/bench_pages.py --page-wire``.  LSB-first like the ribbon.
+    heatmap survives 4-bit pixels — wire throughput is measured in
+    ``scripts/bench_detectors.py --page-wire`` and wire accuracy rides
+    along in ``scripts/serve_corpus.py`` (sampled CER on a u4 stream).
+    LSB-first like the ribbon.
     Ragged widths pad with 255 (background white); ``unpack_page`` slices
     back to the true width.
     """
