@@ -17,12 +17,19 @@ from ocrfa_tpu.models.quant_craft import (
 
 
 def _perturb_bn(params):
-    """Non-trivial BN running stats so folding is actually exercised."""
+    """Non-trivial BN running stats so folding is actually exercised.
+
+    The fold-in key must NOT use ``hash(str(path))``: str hashing is
+    salted per process (PYTHONHASHSEED), which made the toy model — and
+    the int8-vs-f32 error this suite asserts on — a per-run lottery
+    (observed 0.145 vs the 0.12 gate on an unlucky draw)."""
+    import zlib
+
     def perturb(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else ""
         if name in ("mean", "var", "scale"):
             k = jax.random.fold_in(jax.random.PRNGKey(7),
-                                   abs(hash(str(path))) % 2**31)
+                                   zlib.crc32(str(path).encode()) % 2**31)
             jitter = 0.2 * jax.random.normal(k, leaf.shape)
             return leaf + (jnp.abs(jitter) if name == "var" else jitter)
         return leaf
