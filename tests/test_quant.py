@@ -23,10 +23,15 @@ def toy():
     params = init_crnn_gen1(jax.random.PRNGKey(0), num_class=12,
                             output_channel=64, hidden_size=64)
     # give BN non-trivial running stats so folding is actually exercised
+    # (crc32, not hash(): str hashing is salted per process and made the
+    # sibling CRAFT suite's error gates a per-run lottery)
+    import zlib
+
     def perturb(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else ""
         if name in ("mean", "var", "scale"):
-            k = jax.random.fold_in(jax.random.PRNGKey(7), abs(hash(str(path))) % 2**31)
+            k = jax.random.fold_in(jax.random.PRNGKey(7),
+                                   zlib.crc32(str(path).encode()) % 2**31)
             jitter = 0.2 * jax.random.normal(k, leaf.shape)
             return leaf + (jnp.abs(jitter) if name == "var" else jitter)
         return leaf
