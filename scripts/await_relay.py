@@ -11,6 +11,13 @@ try again"):
 
 Each probe is a FRESH subprocess: a hung in-process axon client never
 recovers even after the relay does, so polling must not reuse one.
+
+The relay also has a DEGRADED-BUT-UP state (observed after a >2 h outage):
+the first dispatch of every fresh client takes 30-150 s (handshake/remote
+compile), after which dispatches are normal speed.  A 60 s probe timeout
+reads that state as "down" forever, even though a long-lived job would run
+fine — hence the generous --probe-timeout-s default; the probe burns its
+budget only when the relay really is down or degraded.
 """
 
 import argparse
@@ -22,7 +29,7 @@ PROBE = ("import jax, numpy as np; "
          "print(float(np.asarray(jax.numpy.ones((8, 8)).sum())))")
 
 
-def relay_up(timeout_s: float = 60.0) -> bool:
+def relay_up(timeout_s: float = 210.0) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", PROBE],
                            timeout=timeout_s, capture_output=True)
@@ -35,6 +42,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--poll-s", type=float, default=90.0,
                     help="seconds between probes while the relay is down")
+    ap.add_argument("--probe-timeout-s", type=float, default=210.0,
+                    help="per-probe dispatch deadline.  Must cover the "
+                         "degraded-relay first-dispatch cost (30-150 s "
+                         "measured) or every probe of an UP relay fails")
     ap.add_argument("--stable-probes", type=int, default=3,
                     help="consecutive good probes (spaced --stable-gap-s) "
                          "required before launching — one good probe does "
@@ -56,7 +67,7 @@ def main():
     launches = 0
     good = 0
     while time.time() - t0 < args.max_wait_s:
-        if relay_up():
+        if relay_up(args.probe_timeout_s):
             good += 1
             if good < args.stable_probes:
                 time.sleep(args.stable_gap_s)
