@@ -146,7 +146,8 @@ def make_shaped_pages(n, renderer, text_charset, page=512, seed=0,
 
 
 def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
-                     tilt: float = 0.02, clean_p: float = 0.15):
+                     tilt: float = 0.02, clean_p: float = 0.15,
+                     pad_top=None, pad_bot=None):
     """Simulate the detection->crop pipeline on a clean rendered line.
 
     A trained detector's box is never the exact render rect: it carries
@@ -176,7 +177,12 @@ def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
     if r.random() < clean_p:
         return crop
     h, w = crop.shape
-    pt, pb = int(r.integers(*pad_tb)), int(r.integers(*pad_tb))
+    # DB boxes are vertically ASYMMETRIC on shaped Farsi (measured r4 diag,
+    # n=185: top_out p5..p95 = -4..+4 — the box CLIPS above the line —
+    # while bot_out = +2..+10): a single symmetric range over-disperses
+    # the domain, so the two edges get their own measured ranges
+    pt = int(r.integers(*(pad_top if pad_top is not None else pad_tb)))
+    pb = int(r.integers(*(pad_bot if pad_bot is not None else pad_tb)))
     pl, pr = int(r.integers(*pad_lr)), int(r.integers(*pad_lr))
     # NEGATIVE pads = the detector's box clips INSIDE the GT extent (DB's
     # fixed shrink/unclip roundtrip does this on tall lines) — crop the
@@ -486,6 +492,14 @@ def main():
                          "exclusive hi) — set to the arm's MEASURED crop "
                          "margins from diag_craft_arm.py")
     ap.add_argument("--ft-pad-lr", default="0,8")
+    ap.add_argument("--ft-pad-top", default=None,
+                    help="override --ft-pad-tb for the TOP edge only "
+                         "(negative lo = the box clips into the line; use "
+                         "the = form for negative values under "
+                         "await_relay).  DB arms measure asymmetric: r4 "
+                         "diag top -4..+4 vs bottom +2..+10")
+    ap.add_argument("--ft-pad-bot", default=None,
+                    help="override --ft-pad-tb for the BOTTOM edge only")
     ap.add_argument("--ft-tilt", type=float, default=0.02)
     ap.add_argument("--load-recognizer-ft", type=str, default=None)
     ap.add_argument("--show", type=int, default=0,
@@ -633,10 +647,15 @@ def main():
                 start = pickle.load(f)["params"]
         pad_tb = tuple(int(v) for v in args.ft_pad_tb.split(","))
         pad_lr = tuple(int(v) for v in args.ft_pad_lr.split(","))
+        pad_top = (tuple(int(v) for v in args.ft_pad_top.split(","))
+                   if args.ft_pad_top else None)
+        pad_bot = (tuple(int(v) for v in args.ft_pad_bot.split(","))
+                   if args.ft_pad_bot else None)
 
         def aug(crop, r):
             return det_crop_augment(crop, r, pad_tb=pad_tb, pad_lr=pad_lr,
-                                    tilt=args.ft_tilt)
+                                    tilt=args.ft_tilt,
+                                    pad_top=pad_top, pad_bot=pad_bot)
 
         ft, _c2, _f2, ft_loss, _cb = train_gen1(
             meta["charset"], steps=args.finetune_steps, batch=64,
