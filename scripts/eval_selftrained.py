@@ -189,9 +189,11 @@ def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
     # source before padding
     ct, cb = max(-pt, 0), max(-pb, 0)
     cl, cr = max(-pl, 0), max(-pr, 0)
+    model_h = h  # the consumer (render_batch / AlignCollate) needs this back
     if ct or cb or cl or cr:
         if h - ct - cb < 8 or w - cl - cr < 4:
             return crop
+        orig = crop
         crop = crop[ct:h - cb, cl:w - cr]
         h, w = crop.shape
         pt, pb, pl, pr = max(pt, 0), max(pb, 0), max(pl, 0), max(pr, 0)
@@ -209,10 +211,15 @@ def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
     warped = four_point_transform(canvas, quad)
     if warped.shape[1] <= warped.shape[0]:
         # near-square/vertical crops route through the rotated vertical-
-        # text branch of compute_ratio_and_resize — not this domain
-        return crop
+        # text branch of compute_ratio_and_resize — not this domain.
+        # Return the UNCLIPPED source: every exit must keep model height
+        # (a clipped 63px return broke render_batch's fixed-64 canvas)
+        return orig if (ct or cb) else crop
+    # normalise to MODEL height (not the clipped height): deployment's
+    # AlignCollate resizes every det crop to imgH=64, and that resample
+    # of a clipped line is exactly the domain being imitated
     out, _ = compute_ratio_and_resize(
-        warped, warped.shape[1], warped.shape[0], h)
+        warped, warped.shape[1], warped.shape[0], model_h)
     return np.asarray(out, np.uint8)
 
 

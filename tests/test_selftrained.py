@@ -86,6 +86,21 @@ class TestDetCropAugment:
             # margins/tilt shrink glyphs but the line must stay readable
             assert (out < 128).mean() > 0.4 * base_ink
 
+    def test_negative_and_asymmetric_pads_keep_model_height(self, renderer):
+        # DB arms CLIP the top edge (r4 diag: top_out p5 = -4 px) while
+        # padding the bottom; every augmented crop must still come back at
+        # model height — a clipped 63px return broke render_batch's fixed
+        # 64-row canvas mid-fine-tune
+        from eval_selftrained import det_crop_augment
+
+        crop = renderer.render("ابتث جح")
+        rng = np.random.default_rng(3)
+        for _ in range(64):
+            out = det_crop_augment(crop, rng, pad_top=(-4, 5),
+                                   pad_bot=(2, 11), pad_lr=(3, 9), tilt=0.0)
+            assert out.shape[0] == crop.shape[0]
+            assert out.dtype == np.uint8
+
     def test_clean_anchor_identity(self, renderer):
         from eval_selftrained import det_crop_augment
 
