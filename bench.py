@@ -22,10 +22,17 @@ same fused program on device-resident input (no per-batch upload);
 is bounded by on this host.
 
 Baseline: BASELINE.json north star = 5,000 lines/sec/chip on TPU v5e.
+
+Relay shielding: `python bench.py` supervises (awaits a STABLE relay via
+fresh-subprocess probes, runs the measurement as a `--measure` child under
+a hang deadline, retries after an idle window, 45 min horizon) so a relay
+flap at capture time degrades to a late measurement instead of a lost
+round artifact (BENCH_r04 was lost exactly that way).
 """
 
 import json
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -35,6 +42,94 @@ sys.path.insert(0, str(Path(__file__).parent))
 BASELINE_LINES_PER_SEC = 5000.0
 
 import os
+
+# ---- relay-flap shielding (supervisor mode) --------------------------------
+# The axon relay dies silently for stretches and FLAPS (CLAUDE.md); round 4
+# lost its headline artifact to exactly that (BENCH_r04: rc 134 after one
+# 300 s probe).  `python bench.py` therefore now runs as a SUPERVISOR: it
+# waits for a STABLE relay (consecutive fresh-subprocess probes — a hung
+# in-process axon client never recovers, so probing must not reuse one),
+# then runs the measurement as a child (`bench.py --measure`) under a hang
+# deadline, and on child failure idles and retries until MAX_WALL_S.
+MAX_WALL_S = float(os.environ.get("BENCH_MAX_WALL_S", "2700"))   # 45 min
+CHILD_TIMEOUT_S = float(os.environ.get("BENCH_CHILD_TIMEOUT_S", "1500"))
+PROBE_TIMEOUT_S = 210.0    # must cover degraded-relay first-dispatch 30-150 s
+STABLE_PROBES = 3
+STABLE_GAP_S = 20.0
+RETRY_IDLE_S = 120.0
+
+
+def _relay_up(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """One trivial dispatch in a FRESH subprocess (see scripts/await_relay.py)."""
+    probe = ("import jax, numpy as np; "
+             "print(float(np.asarray(jax.numpy.ones((8, 8)).sum())))")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"64.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _await_stable(deadline: float) -> bool:
+    good = 0
+    while time.time() < deadline:
+        if _relay_up(min(PROBE_TIMEOUT_S, max(10.0, deadline - time.time()))):
+            good += 1
+            if good >= STABLE_PROBES:
+                return True
+            time.sleep(STABLE_GAP_S)
+        else:
+            good = 0
+            print(f"[bench] relay down; re-probing "
+                  f"({deadline - time.time():.0f}s left)",
+                  file=sys.stderr, flush=True)
+            time.sleep(30.0)
+    return False
+
+
+def supervise() -> int:
+    deadline = time.time() + MAX_WALL_S
+    attempt = 0
+    while time.time() < deadline:
+        if not _await_stable(deadline):
+            break
+        attempt += 1
+        budget = min(CHILD_TIMEOUT_S, max(60.0, deadline - time.time()))
+        print(f"[bench] relay stable; measurement attempt #{attempt} "
+              f"(child deadline {budget:.0f}s)", file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--measure"],
+                timeout=budget, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print("[bench] child hung past deadline (relay died "
+                  "mid-measurement?) — idling then retrying",
+                  file=sys.stderr, flush=True)
+            time.sleep(RETRY_IDLE_S)
+            continue
+        sys.stderr.write(r.stderr[-4000:])
+        line = next((ln for ln in reversed(r.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line is not None:
+            parsed = json.loads(line)
+            if "error" not in parsed:
+                print(line, flush=True)
+                return 0
+        print(f"[bench] child rc={r.returncode} "
+              f"result={'error' if line else 'none'} — idling then retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(RETRY_IDLE_S)
+    print(json.dumps({
+        "metric": "textline_images_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "img/s/chip",
+        "vs_baseline": 0.0,
+        "error": f"backend unreachable: no valid measurement within "
+                 f"{MAX_WALL_S:.0f}s supervisor horizon ({attempt} attempts) "
+                 "— not a measurement",
+    }), flush=True)
+    return 1
 
 N_LINES = 4096          # corpus size per measurement window
 CHUNK = int(os.environ.get("BENCH_CHUNK", "512"))   # device batch/dispatch
@@ -64,7 +159,7 @@ def make_corpus(rng, n):
     return crops
 
 
-def backend_alive(timeout=300.0):
+def backend_alive(timeout=240.0):
     """True once a trivial dispatch round-trips.
 
     The axon relay can die mid-session (observed: tunnel process exits,
@@ -98,9 +193,9 @@ def main():
             "unit": "img/s/chip",
             "vs_baseline": 0.0,
             "error": "backend unreachable: no dispatch completed within "
-                     "300s (axon relay down?) — not a measurement",
+                     "240s (axon relay down?) — not a measurement",
         }))
-        return
+        sys.exit(3)  # nonzero so the supervisor knows to retry
 
     import jax
     import jax.numpy as jnp
@@ -240,4 +335,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv:
+        main()
+    else:
+        sys.exit(supervise())

@@ -131,6 +131,68 @@ def crop_resize_normalize(page_u8, boxes, out_h: int = 64, out_w: int = 512):
     return out[..., None], new_w.astype(jnp.int32)
 
 
+def crop_resize_normalize_pages(pages_u8, boxes, out_h: int = 64,
+                                out_w: int = 512):
+    """:func:`crop_resize_normalize` over a page STACK.
+
+    Cross-page recognition batching for corpus serving: one fused dispatch
+    covers crops from many resident pages, so the ~26 ms relay round trip
+    per dispatch amortises over a wave of pages instead of one
+    (SERVE_CORPUS_r4 measured 12 pages/s with per-page dispatches — the
+    per-page RTT chain, not compute, was the wall).
+
+    Args:
+      pages_u8: (P, H, W) uint8 grey pages (same shape — corpus pages).
+      boxes:    (N, 5) int32 ``[page, x_min, x_max, y_min, y_max]``.
+
+    Returns (N, out_h, out_w, 1) float32 in [-1, 1], plus (N,) int32 valid
+    widths.  The gather stays an axis-0 ROW gather from the (P*H, W)
+    flattened stack — the fast formulation on TPU (CLAUDE.md perf notes).
+    """
+    p, h, w = pages_u8.shape
+    flat = pages_u8.reshape(p * h, w).astype(jnp.float32)
+
+    pi = boxes[:, 0]
+    x0 = boxes[:, 1].astype(jnp.float32)
+    x1 = boxes[:, 2].astype(jnp.float32)
+    y0 = boxes[:, 3].astype(jnp.float32)
+    y1 = boxes[:, 4].astype(jnp.float32)
+    crop_w = jnp.maximum(x1 - x0, 1.0)
+    crop_h = jnp.maximum(y1 - y0, 1.0)
+
+    new_w = jnp.clip(jnp.ceil(out_h * crop_w / crop_h), 1, out_w)
+
+    oy = jnp.arange(out_h, dtype=jnp.float32)
+    ox = jnp.arange(out_w, dtype=jnp.float32)
+
+    sy = (oy[None, :] + 0.5) * (crop_h[:, None] / out_h) - 0.5
+    sy = jnp.clip(sy, 0.0, crop_h[:, None] - 1.0) + y0[:, None]
+    sx = (ox[None, :] + 0.5) * (crop_w[:, None] / new_w[:, None]) - 0.5
+    sx = jnp.clip(sx, 0.0, crop_w[:, None] - 1.0) + x0[:, None]
+
+    y0i = jnp.floor(sy).astype(jnp.int32)
+    x0i = jnp.floor(sx).astype(jnp.int32)
+    fy = sy - y0i
+    fx = sx - x0i
+    row_off = (pi * h)[:, None]
+    y0c = jnp.clip(y0i, 0, h - 1) + row_off
+    y1c = jnp.clip(y0i + 1, 0, h - 1) + row_off
+    x0c = jnp.clip(x0i, 0, w - 1)
+    x1c = jnp.clip(x0i + 1, 0, w - 1)
+
+    def sample(yi, xi):
+        return flat[yi[:, :, None], xi[:, None, :]]
+
+    out = (
+        sample(y0c, x0c) * (1 - fy)[:, :, None] * (1 - fx)[:, None, :]
+        + sample(y0c, x1c) * (1 - fy)[:, :, None] * fx[:, None, :]
+        + sample(y1c, x0c) * fy[:, :, None] * (1 - fx)[:, None, :]
+        + sample(y1c, x1c) * fy[:, :, None] * fx[:, None, :]
+    )
+    out = (out / 255.0 - 0.5) / 0.5
+    return out[..., None], new_w.astype(jnp.int32)
+
+
 class DevicePagePipeline:
     """Page-resident recognition: one upload, one dispatch per bucket.
 
@@ -165,6 +227,18 @@ class DevicePagePipeline:
 
         self._fused = jax.jit(_fused, static_argnames=("out_w",))
 
+        def _fused_pages(params, pages_u8, boxes, keep_mask, *, out_w):
+            crops, _ = crop_resize_normalize_pages(pages_u8, boxes,
+                                                   out_w=out_w)
+            crops = crops.astype(recognizer.compute_dtype)
+            logits = model_fn(params, crops)
+            indices, values = postprocess_logits(
+                logits.astype(jnp.float32), keep_mask)
+            return pack_decode_payload(compact_indices(indices, nc),
+                                       ctc_confidences(indices, values))
+
+        self._fused_pages = jax.jit(_fused_pages, static_argnames=("out_w",))
+
     def put_page(self, page_grey_u8, wire: str = "u8"):
         """Upload a grey page; ``wire="u4"/"u2"/"u1"`` packs pixels on the
         host and unpacks on-device, trading grey depth for relay bytes
@@ -175,6 +249,105 @@ class DevicePagePipeline:
             return jax.device_put(jnp.asarray(page_grey_u8, jnp.uint8))
         packed = jax.device_put(jnp.asarray(pack_page(page_grey_u8, wire)))
         return unpack_page(packed, wire, page_grey_u8.shape[1])
+
+    def dispatch_boxes_multi(self, pages_dev, boxes_per_page, keep_mask,
+                             img_height: int = 64, ladder=None):
+        """Dispatch recognition for boxes spanning a page STACK.
+
+        ``pages_dev``: (P, H, W) uint8 resident stack; ``boxes_per_page``:
+        per-page lists of ``[x_min, x_max, y_min, y_max]``.  Boxes are
+        grouped by their PAGE's width bucket and dispatched as ONE fused
+        program per occupied (width, batch) bucket — dispatch + download
+        round trips amortise over the wave instead of per page.  Returns an
+        opaque handle for :meth:`collect_boxes_multi` (dispatch-only: no
+        host sync happens here).
+
+        Bucketing is per PAGE-max on the parity ladder — the exact
+        :meth:`recognize_boxes` semantics — NOT per box: the BiLSTM's
+        backward pass runs over the replicate-edge right pad before it
+        reaches content, so logits (and decoded text) genuinely change
+        with pad length.  Measured on the shaped corpus (r5): per-box
+        tight buckets read e2e CER 0.173 vs 0.090 for page-max buckets,
+        with end-of-line characters dropped/garbled; forcing the same
+        out_w reproduced the per-page texts exactly."""
+        import numpy as np
+
+        from ocrfa_tpu.preproc.buckets import (bucket_for_batch,
+                                               bucket_for_width)
+
+        _p, h, w = pages_dev.shape
+        flat = []
+        owner = []
+        page_bucket = []  # per flat box: its page's out_w bucket
+        for pi, page_boxes in enumerate(boxes_per_page):
+            if not page_boxes:
+                continue
+            pb = np.asarray(page_boxes, dtype=np.int32)
+            pb[:, 0] = np.clip(pb[:, 0], 0, w)
+            pb[:, 1] = np.clip(pb[:, 1], 0, w)
+            pb[:, 2] = np.clip(pb[:, 2], 0, h)
+            pb[:, 3] = np.clip(pb[:, 3], 0, h)
+            widths = np.maximum(pb[:, 1] - pb[:, 0], 1)
+            heights = np.maximum(pb[:, 3] - pb[:, 2], 1)
+            ratios = np.where(widths / heights < 1.0,
+                              heights / widths, widths / heights)
+            need_w = np.ceil(ratios).astype(int) * img_height
+            out_w = (bucket_for_width(int(need_w.max())) if ladder is None
+                     else bucket_for_width(int(need_w.max()), ladder))
+            for b in pb:
+                flat.append((pi, b[0], b[1], b[2], b[3]))
+                owner.append(pi)
+                page_bucket.append(out_w)
+        if not flat:
+            return ([], [len(b) for b in boxes_per_page], owner)
+        boxes = np.asarray(flat, dtype=np.int32)
+
+        groups = {}
+        for gi, out_w in enumerate(page_bucket):
+            groups.setdefault(out_w, []).append(gi)
+        dispatches = []
+        for out_w, idxs in sorted(groups.items()):
+            n = len(idxs)
+            nb = bucket_for_batch(n)
+            sel = boxes[idxs]
+            if nb != n:
+                sel = np.concatenate([sel, np.repeat(sel[-1:], nb - n, axis=0)])
+            payload = self._fused_pages(
+                self.recognizer.params, pages_dev, jnp.asarray(sel),
+                jnp.asarray(keep_mask), out_w=out_w)
+            try:  # start the d2h transfer early; harmless if unsupported
+                payload.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+            dispatches.append((payload, idxs, n))
+        return (dispatches, [len(b) for b in boxes_per_page], owner)
+
+    def collect_boxes_multi(self, handle):
+        """Block on :meth:`dispatch_boxes_multi` results; returns per-page
+        ``[[text, conf], ...]`` lists (order within a page preserved)."""
+        import numpy as np
+
+        from ocrfa_tpu.decode.device import (decode_greedy_batch,
+                                             unpack_decode_payload)
+
+        dispatches, counts, owner = handle
+        conv = self.recognizer.converter
+        texts_flat = [None] * len(owner)
+        confs_flat = [0.0] * len(owner)
+        for payload, idxs, n in dispatches:
+            indices, confs = unpack_decode_payload(np.asarray(payload)[:n])
+            texts = decode_greedy_batch(indices, conv.character,
+                                        conv.ignore_idx)
+            for j, gi in enumerate(idxs):
+                texts_flat[gi] = texts[j]
+                confs_flat[gi] = float(confs[j])
+        out = []
+        pos = 0
+        for c in counts:
+            out.append([[texts_flat[pos + k], confs_flat[pos + k]]
+                        for k in range(c)])
+            pos += c
+        return out
 
     def recognize_boxes(self, page_dev, horizontal_list, keep_mask,
                         img_height: int = 64):

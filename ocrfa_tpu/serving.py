@@ -16,6 +16,9 @@ i+1 is dispatched while page i's boxes are being extracted/recognised.
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
+from contextlib import contextmanager
 
 import jax
 import jax.numpy as jnp
@@ -105,6 +108,9 @@ class ServingPipeline:
         self.mesh = mesh
         self.page_wire = page_wire
         self.recognizer = recognizer
+        # per-stage wall-second accumulators (host-blocking sections only;
+        # SERVE_CORPUS_r4's 12 pages/s had no breakdown — never again)
+        self.stage_seconds = defaultdict(float)
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
         self.canvas_size = canvas_size
         self.text_threshold = text_threshold
@@ -287,13 +293,21 @@ class ServingPipeline:
         # pages stay device-resident; recognition slices reuse them
         return [(x[i], seeds[:, i], ratio) for i in range(len(pages))]
 
-    def detect_boxes(self, handle):
-        """Detection seeds -> page-space quad boxes (pre-grouping)."""
+    @contextmanager
+    def _stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.stage_seconds[name] += time.perf_counter() - t0
+
+    def _boxes_from_seeds(self, seeds_np, geom):
+        """Downloaded detection seeds (host arrays) -> page-space boxes."""
         if self.family == "dbnet":
             from ocrfa_tpu.detector_db import DBNetDetector
 
-            _page_dev, payload, (h, w) = handle
-            payload = np.asarray(payload)  # one round trip
+            h, w = geom
+            payload = seeds_np
             cw = payload.shape[-1] * 8 // 9  # packed W/8 cols + u8 W cols
             mask = np.unpackbits(payload[:, :cw // 8], axis=-1).astype(bool)
             hmap = payload[:, cw // 8:].astype(np.float32) / 255.0
@@ -302,20 +316,15 @@ class ServingPipeline:
                 bbox_min_size=self.db_bbox_min_size)
             return [np.asarray(b, np.float64) for b, s in zip(boxes, scores)
                     if s > 0]
-        _page_dev, seeds, ratio = handle
-        comb_p, link_p, over_p = np.asarray(seeds)  # one round trip
+        comb_p, link_p, over_p = seeds_np
         comb = np.unpackbits(comb_p, axis=-1).astype(bool)
         link_only = np.unpackbits(link_p, axis=-1).astype(bool)
         text_over = np.unpackbits(over_p, axis=-1).astype(bool)
         boxes, _, _ = get_det_boxes_from_masks(comb, link_only, text_over)
-        inv = 1.0 / ratio
+        inv = 1.0 / geom
         return adjust_result_coordinates(boxes, inv, inv)
 
-    def finish_page(self, handle):
-        """Detection seeds -> boxes -> batched recognition; returns
-        [(box, text, confidence), ...]."""
-        page_dev = handle[0]
-        boxes = self.detect_boxes(handle)
+    def _horizontal_from_boxes(self, boxes):
         polys = [np.array(b).astype(np.int32).reshape(-1) for b in boxes]
         horizontal, _free = group_text_box(polys)
         if self.min_size:
@@ -323,13 +332,36 @@ class ServingPipeline:
                 b for b in horizontal
                 if max(b[1] - b[0], b[3] - b[2]) > self.min_size
             ]
-        results = self.page_pipe.recognize_boxes(page_dev, horizontal, self.keep_mask)
+        return horizontal
+
+    @staticmethod
+    def _page_output(horizontal, results):
         out = []
         for box, (text, conf) in zip(horizontal, results):
             x0, x1, y0, y1 = box
             quad = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
             out.append((quad, text, conf))
         return out
+
+    def detect_boxes(self, handle):
+        """Detection seeds -> page-space quad boxes (pre-grouping)."""
+        _page_dev, seeds, geom = handle
+        with self._stage("seed_fetch"):
+            seeds_np = np.asarray(seeds)  # one round trip
+        with self._stage("host_geometry"):
+            return self._boxes_from_seeds(seeds_np, geom)
+
+    def finish_page(self, handle):
+        """Detection seeds -> boxes -> batched recognition; returns
+        [(box, text, confidence), ...]."""
+        page_dev = handle[0]
+        boxes = self.detect_boxes(handle)
+        with self._stage("host_geometry"):
+            horizontal = self._horizontal_from_boxes(boxes)
+        with self._stage("recognize"):
+            results = self.page_pipe.recognize_boxes(
+                page_dev, horizontal, self.keep_mask)
+        return self._page_output(horizontal, results)
 
     def process(self, pages, depth: int = 2):
         """Pipeline a stream of grey uint8 pages; yields per-page results."""
@@ -340,3 +372,116 @@ class ServingPipeline:
                 yield self.finish_page(inflight.pop(0))
         while inflight:
             yield self.finish_page(inflight.pop(0))
+
+    # ---- wave path: corpus-scale batched serving ---------------------------
+    # SERVE_CORPUS_r4 measured 12 pages/s because finish_page serialises
+    # ~3 host-blocking relay round trips (~26 ms each, CLAUDE.md) per page:
+    # seed download, recognition dispatch, payload download — with ~6 lines
+    # per page the RTT chain, not compute, set the rate.  The wave path
+    # amortises every round trip over a WAVE of pages: one batched
+    # detection dispatch, ONE seed download per wave, cross-page bucketed
+    # recognition from the resident page stack (one dispatch + one download
+    # per occupied width bucket), with waves double-buffered so recognition
+    # of wave i overlaps detection of wave i+1.
+
+    def submit_wave(self, pages):
+        """Upload + dispatch batched detection for same-shape grey pages.
+
+        Returns an opaque wave handle for :meth:`finish_wave`."""
+        batch = np.stack(pages)
+        h, w = batch.shape[1:]
+        with self._stage("upload_pack"):
+            if self.page_wire != "u8":
+                from ocrfa_tpu.preproc.device import pack_page, unpack_page
+
+                packed = np.stack([pack_page(p, self.page_wire)
+                                   for p in pages])
+                x = unpack_page(jnp.asarray(packed), self.page_wire, w)
+            else:
+                x = jnp.asarray(batch)
+            if self.mesh is not None:
+                from ocrfa_tpu.parallel.mesh import shard_batch
+
+                x = shard_batch(x, self.mesh)
+        with self._stage("detect_dispatch"):
+            if self.family == "dbnet":
+                geom = (h, w)
+                seeds = self._detect_batch(self.det_params, x,
+                                           canvas_hw=self._canvas_hw_db(h, w))
+            else:
+                target_hw, canvas_hw, ratio = self._canvas_hw(h, w)
+                geom = ratio
+                seeds = self._detect_batch(self.det_params, x,
+                                           target_hw=target_hw,
+                                           canvas_hw=canvas_hw)
+            try:  # start the seed d2h transfer behind the next wave's work
+                seeds.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+        return (x, seeds, geom, len(pages))
+
+    def dispatch_wave(self, handle):
+        """Seed download + host geometry + recognition dispatch for a wave
+        (everything except the final payload download)."""
+        x, seeds, geom, n = handle
+        with self._stage("seed_fetch"):
+            seeds_np = np.asarray(seeds)  # ONE round trip for the wave
+        boxes_per_page = []
+        with self._stage("host_geometry"):
+            for i in range(n):
+                per_page = (seeds_np[i] if self.family == "dbnet"
+                            else seeds_np[:, i])
+                boxes = self._boxes_from_seeds(per_page, geom)
+                boxes_per_page.append(self._horizontal_from_boxes(boxes))
+        with self._stage("rec_dispatch"):
+            if self.mesh is not None:
+                # recognition gathers arbitrary (page, row) pairs across the
+                # wave; pages ride replicated for the crop gather (the
+                # sharded-recognition shape is covered by the multichip
+                # dryrun's pad-and-shard path)
+                from ocrfa_tpu.parallel.mesh import replicate
+
+                x = replicate(x, self.mesh)
+            rec = self.page_pipe.dispatch_boxes_multi(
+                x, boxes_per_page, self.keep_mask)
+        return (rec, boxes_per_page)
+
+    def collect_wave(self, dispatched):
+        """Block on a dispatched wave; returns per-page result lists."""
+        rec, boxes_per_page = dispatched
+        with self._stage("rec_collect"):
+            per_page = self.page_pipe.collect_boxes_multi(rec)
+        return [self._page_output(h, r)
+                for h, r in zip(boxes_per_page, per_page)]
+
+    def finish_wave(self, handle):
+        return self.collect_wave(self.dispatch_wave(handle))
+
+    def process_waves(self, pages, wave: int = 16, depth: int = 2):
+        """Stream pages through the wave pipeline; yields per-page results.
+
+        ``depth`` waves of detection stay in flight ahead of the
+        seed-fetch/recognition stage, and one recognition wave stays in
+        flight behind it, so detector compute, relay transfers, and host
+        geometry overlap."""
+        det_q, rec_q = [], []
+        buf = []
+
+        def pump():
+            while det_q and len(det_q) >= depth:
+                rec_q.append(self.dispatch_wave(det_q.pop(0)))
+                while len(rec_q) > 1:
+                    yield from self.collect_wave(rec_q.pop(0))
+
+        for page in pages:
+            buf.append(page)
+            if len(buf) >= wave:
+                det_q.append(self.submit_wave(buf))
+                buf = []
+                yield from pump()
+        if buf:
+            det_q.append(self.submit_wave(buf))
+        while det_q:
+            rec_q.append(self.dispatch_wave(det_q.pop(0)))
+        while rec_q:
+            yield from self.collect_wave(rec_q.pop(0))

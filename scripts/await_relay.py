@@ -28,8 +28,16 @@ import time
 PROBE = ("import jax, numpy as np; "
          "print(float(np.asarray(jax.numpy.ones((8, 8)).sum())))")
 
+# One default, used by both relay_up() and --probe-timeout-s (they drifted
+# apart once already): must cover the degraded-relay first-dispatch cost.
+PROBE_TIMEOUT_S = 210.0
+# After the FIRST good probe the client-handshake cost is known paid-able;
+# follow-up stability probes only confirm the relay isn't flapping, so they
+# can use a tighter deadline instead of burning 210 s each on a flap.
+STABLE_PROBE_TIMEOUT_S = 90.0
 
-def relay_up(timeout_s: float = 210.0) -> bool:
+
+def relay_up(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
     try:
         r = subprocess.run([sys.executable, "-c", PROBE],
                            timeout=timeout_s, capture_output=True)
@@ -42,10 +50,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--poll-s", type=float, default=90.0,
                     help="seconds between probes while the relay is down")
-    ap.add_argument("--probe-timeout-s", type=float, default=210.0,
+    ap.add_argument("--probe-timeout-s", type=float,
+                    default=PROBE_TIMEOUT_S,
                     help="per-probe dispatch deadline.  Must cover the "
                          "degraded-relay first-dispatch cost (30-150 s "
-                         "measured) or every probe of an UP relay fails")
+                         "measured) or every probe of an UP relay fails; "
+                         "stability re-probes after the first success use "
+                         f"the tighter {STABLE_PROBE_TIMEOUT_S:.0f}s")
     ap.add_argument("--stable-probes", type=int, default=3,
                     help="consecutive good probes (spaced --stable-gap-s) "
                          "required before launching — one good probe does "
@@ -67,7 +78,9 @@ def main():
     launches = 0
     good = 0
     while time.time() - t0 < args.max_wait_s:
-        if relay_up(args.probe_timeout_s):
+        timeout = (min(args.probe_timeout_s, STABLE_PROBE_TIMEOUT_S)
+                   if good else args.probe_timeout_s)
+        if relay_up(timeout):
             good += 1
             if good < args.stable_probes:
                 time.sleep(args.stable_gap_s)

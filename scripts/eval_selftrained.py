@@ -190,10 +190,10 @@ def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
     ct, cb = max(-pt, 0), max(-pb, 0)
     cl, cr = max(-pl, 0), max(-pr, 0)
     model_h = h  # the consumer (render_batch / AlignCollate) needs this back
+    orig = crop  # aliases (no copy) — keeps every fallback exit well-defined
     if ct or cb or cl or cr:
         if h - ct - cb < 8 or w - cl - cr < 4:
             return crop
-        orig = crop
         crop = crop[ct:h - cb, cl:w - cr]
         h, w = crop.shape
         pt, pb, pl, pr = max(pt, 0), max(pb, 0), max(pl, 0), max(pr, 0)
@@ -213,8 +213,10 @@ def det_crop_augment(crop, r, pad_tb=(4, 9), pad_lr=(0, 8),
         # near-square/vertical crops route through the rotated vertical-
         # text branch of compute_ratio_and_resize — not this domain.
         # Return the UNCLIPPED source: every exit must keep model height
-        # (a clipped 63px return broke render_batch's fixed-64 canvas)
-        return orig if (ct or cb) else crop
+        # (a clipped 63px return broke render_batch's fixed-64 canvas);
+        # horizontal-only clipping also falls back to orig so the exit is
+        # uniformly full-height/full-width (ADVICE r4)
+        return orig
     # normalise to MODEL height (not the clipped height): deployment's
     # AlignCollate resizes every det crop to imgH=64, and that resample
     # of a clipped line is exactly the domain being imitated

@@ -41,7 +41,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=10000)
     ap.add_argument("--pool", type=int, default=64)
-    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=2,
+                    help="detection waves in flight ahead of recognition")
+    ap.add_argument("--wave", type=int, default=16,
+                    help="pages per detection/recognition wave — relay "
+                         "round trips amortise over the wave (r4's 12 "
+                         "pages/s was the per-page RTT chain)")
+    ap.add_argument("--per-page", action="store_true",
+                    help="serve with the old per-page pipeline instead of "
+                         "waves (the r4 configuration, for comparison)")
     ap.add_argument("--page-size", type=int, default=512)
     ap.add_argument("--page-wire", default="u4")
     ap.add_argument("--detector", default="blobs/craft_arm_r3.pkl")
@@ -124,15 +132,24 @@ def main():
     h0 = pipe.submit_page(pool[0])
     pipe.finish_page(h0)  # compile
     lat = []
-    for i in range(12):
+    for i in range(32):
         t0 = time.perf_counter()
         pipe.finish_page(pipe.submit_page(pool[i % len(pool)]))
         lat.append((time.perf_counter() - t0) * 1e3)
     lat = np.asarray(lat)
+    # relay stalls (CLAUDE.md: the relay dies/flaps for stretches) are a
+    # transport outage, not pipeline latency — report them separately
+    # instead of letting one 6.5 s stall masquerade as p95 (r4's artifact)
+    stall_ms = 1000.0
+    stalls = lat[lat >= stall_ms]
+    clean_lat = lat[lat < stall_ms] if (lat < stall_ms).any() else lat
 
     # ---- sampled CER: one pool pass through the stream ----------------------
+    runner = (lambda it: pipe.process(it, depth=max(args.depth, 4))) \
+        if args.per_page else \
+        (lambda it: pipe.process_waves(it, wave=args.wave, depth=args.depth))
     sample_results = []
-    for res in pipe.process(iter(pool), depth=args.depth):
+    for res in runner(iter(pool)):
         sample_results.append(
             [(quad, get_display(text), conf) for quad, text, conf in res])
     cer_sample = score_pages(sample_results, records)
@@ -142,27 +159,21 @@ def main():
         for i in range(args.pages):
             yield pool[i % len(pool)]
 
+    pipe.stage_seconds.clear()
     t0 = time.perf_counter()
     total_lines = 0
     done = 0
-    if mesh is not None:
-        # sharded page batches (the multi-chip serving shape): detection
-        # dispatches sharded over the mesh, recognition drains per page
-        for i in range(0, args.pages, args.mesh):
-            batch = [pool[(i + j) % len(pool)] for j in range(args.mesh)]
-            for h in pipe.submit_page_batch(batch):
-                total_lines += len(pipe.finish_page(h))
-                done += 1
-    else:
-        for res in pipe.process(stream(), depth=args.depth):
-            total_lines += len(res)
-            done += 1
-            if done % 1000 == 0:
-                dt = time.perf_counter() - t0
-                print(f"{done}/{args.pages} pages  {done / dt:.2f} pages/s  "
-                      f"{total_lines / dt:.0f} lines/s  ({dt:.0f}s)",
-                      flush=True)
+    for res in runner(stream()):
+        total_lines += len(res)
+        done += 1
+        if done % 1000 == 0:
+            dt = time.perf_counter() - t0
+            print(f"{done}/{args.pages} pages  {done / dt:.2f} pages/s  "
+                  f"{total_lines / dt:.0f} lines/s  ({dt:.0f}s)",
+                  flush=True)
     dt = time.perf_counter() - t0
+    stages = {k: round(v, 1) for k, v in sorted(pipe.stage_seconds.items())}
+    stages["unattributed"] = round(dt - sum(pipe.stage_seconds.values()), 1)
 
     metrics = {
         "pages": args.pages,
@@ -176,12 +187,19 @@ def main():
                       f" {'+ft ' + args.recognizer_ft if args.recognizer_ft else ''}"
                       f" quant={args.quantized or 'none'}",
         "detector": args.detector,
+        "wave": 0 if args.per_page else args.wave,
         "pages_per_sec": round(args.pages / dt, 2),
         "lines_per_sec": round(total_lines / dt, 1),
         "lines_total": total_lines,
         "wall_seconds": round(dt, 1),
-        "p50_page_ms": round(float(np.percentile(lat, 50)), 1),
-        "p95_page_ms": round(float(np.percentile(lat, 95)), 1),
+        "stage_seconds": stages,
+        "p50_page_ms": round(float(np.percentile(clean_lat, 50)), 1),
+        "p95_page_ms": round(float(np.percentile(clean_lat, 95)), 1),
+        "latency_relay_stalls": {
+            "count": int(len(stalls)),
+            "of_samples": int(len(lat)),
+            "max_ms": round(float(lat.max()), 1),
+        },
         "sampled_cer": cer_sample,
     }
     print(json.dumps(metrics, indent=2, ensure_ascii=False))

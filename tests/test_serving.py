@@ -48,6 +48,35 @@ class TestServingPipeline:
         result = pipeline.finish_page(pipeline.submit_page(page))
         assert isinstance(result, list)
 
+    def test_wave_matches_per_page(self, pipeline):
+        # the corpus wave path (cross-page batched recognition from the
+        # resident page stack) must produce the per-page path's results
+        pages = [synthetic_page(i) for i in range(5)]
+        per_page = list(pipeline.process(iter(pages), depth=2))
+        waves = list(pipeline.process_waves(iter(pages), wave=2, depth=1))
+        assert len(waves) == len(per_page)
+        for a, b in zip(waves, per_page):
+            assert len(a) == len(b)
+            for (qa, ta, ca), (qb, tb, cb) in zip(a, b):
+                assert qa == qb
+                assert ta == tb
+                assert abs(ca - cb) < 5e-3  # f32 vs page-stack gather order
+
+    def test_wave_with_empty_pages(self, pipeline):
+        pages = [np.full((96, 128), 255, dtype=np.uint8),
+                 synthetic_page(1),
+                 np.full((96, 128), 255, dtype=np.uint8)]
+        out = list(pipeline.process_waves(iter(pages), wave=4, depth=1))
+        assert len(out) == 3
+        assert out[0] == [] and out[2] == []
+
+    def test_wave_stage_timers_populate(self, pipeline):
+        pipeline.stage_seconds.clear()
+        list(pipeline.process_waves([synthetic_page(7)], wave=1, depth=1))
+        for stage in ("upload_pack", "detect_dispatch", "seed_fetch",
+                      "host_geometry", "rec_dispatch", "rec_collect"):
+            assert stage in pipeline.stage_seconds
+
 
 class TestServingMesh:
     def test_sharded_page_batch(self):
