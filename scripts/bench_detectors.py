@@ -162,12 +162,31 @@ def main():
                 pipe.det_params, x, target_hw=target_hw,
                 canvas_hw=canvas_hw)
 
+        def relay_mbps_now():
+            # sustained u8 upload of the real page batches — pins the
+            # relay's state to THIS family's measurement window, so a
+            # cross-family e2e inversion is attributable (PAGES_r4's
+            # bounded rows were captured in a junk window, VERDICT r4 #7)
+            jax.device_put(batches[0])
+            t0 = time.perf_counter()
+            bufs = [jax.device_put(b) for b in batches]
+            np.asarray(bufs[-1][:1, :1, :1])
+            dt = time.perf_counter() - t0
+            return sum(b.nbytes for b in bufs) / dt / 1e6
+
         wires = args.page_wire.split(",")
-        e2e_by_wire = {}
-        for wire in wires:
-            prep = make_prep(wire)
-            window(prep)
-            e2e_by_wire[wire] = [window(prep) for _ in range(args.windows)]
+        preps = {w: make_prep(w) for w in wires}
+        for w in wires:
+            window(preps[w])  # warm/compile every wire first
+        relay_before = relay_mbps_now()
+        # interleave wires across windows: the relay's throughput drifts
+        # WITHIN a session, so per-wire blocks hand whichever runs first
+        # the better relay (same fix as bench.py)
+        e2e_by_wire = {w: [] for w in wires}
+        for _ in range(args.windows):
+            for w in wires:
+                e2e_by_wire[w].append(window(preps[w]))
+        relay_after = relay_mbps_now()
         e2e = e2e_by_wire[wires[0]]
 
         # ---- single-page dispatch latency ----
@@ -184,12 +203,16 @@ def main():
             "compute_pages_per_sec": round(compute_pps, 1),
             "e2e_pages_per_sec": round(statistics.median(e2e), 1),
             "e2e_best": round(max(e2e), 1),
+            "relay_mbps_window": [round(relay_before, 1),
+                                  round(relay_after, 1)],
             "p50_page_ms": round(float(np.percentile(lat, 50)), 2),
             "p95_page_ms": round(float(np.percentile(lat, 95)), 2),
         }
         for wire, vals in e2e_by_wire.items():
             results["families"][name][f"e2e_{wire}_pages_per_sec"] = round(
                 statistics.median(vals), 1)
+            results["families"][name][f"e2e_{wire}_best"] = round(
+                max(vals), 1)
         print(name, json.dumps(results["families"][name]), flush=True)
 
     c = results["families"].get("craft", {}).get("compute_pages_per_sec")

@@ -391,7 +391,7 @@ def _aabb_iou(a, b):
 
 
 def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
-                show=0):
+                show=0, worst=0):
     """Greedy IoU matching of readtext results to ground-truth lines.
 
     Returns detection recall/precision over line boxes plus recognition
@@ -399,6 +399,12 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
     on matched pairs, full-length deletion cost for each missed
     ground-truth line, full-length insertion cost for each spurious
     detection's text.
+
+    ``worst=N`` adds a ``worst_lines`` key: the N worst matched lines by
+    per-line CER with the pred/gt texts and the detection box's per-edge
+    deltas vs the GT extent (px; positive = pred box outside GT) — the
+    residual-error evidence for whether misses are box-extent or model
+    ambiguity (VERDICT r4 #6).
     """
     from ocrfa_tpu.eval import levenshtein
 
@@ -406,7 +412,9 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
     edit_sum = gt_len = ins_len = 0
     matched_edit = matched_gt_len = 0
     exact = 0
-    for results, records in zip(results_per_page, records_per_page):
+    details = []
+    for page_i, (results, records) in enumerate(
+            zip(results_per_page, records_per_page)):
         preds = []
         for box, text, _conf in results:
             q = np.asarray(box, dtype=np.float64).reshape(-1, 2)
@@ -437,11 +445,24 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
             matched_edit += d
             matched_gt_len += len(text)
             exact += int(d == 0)
+            if worst and d:
+                pb = preds[best_j][0]
+                details.append({
+                    "page": page_i,
+                    "cer": round(d / max(len(text), 1), 4),
+                    "gt": text, "pred": preds[best_j][1],
+                    "iou": round(best_iou, 3),
+                    # per-edge px deltas, positive = pred box OUTSIDE gt
+                    "d_left": round(x0 - pb[0], 1),
+                    "d_top": round(y0 - pb[1], 1),
+                    "d_right": round(pb[2] - x1, 1),
+                    "d_bot": round(pb[3] - y1, 1),
+                })
         for j, (_pb, pt) in enumerate(preds):
             if j not in used:
                 ins_len += len(pt)  # spurious detection: insertion cost
     edit_sum += ins_len
-    return {
+    out = {
         "detection_recall": round(n_match / max(n_gt, 1), 4),
         "detection_precision": round(n_match / max(n_pred, 1), 4),
         "matched_line_cer": round(matched_edit / max(matched_gt_len, 1), 6),
@@ -451,6 +472,10 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
         "pred_lines": n_pred,
         "matched_lines": n_match,
     }
+    if worst:
+        details.sort(key=lambda r: (-r["cer"], -len(r["gt"])))
+        out["worst_lines"] = details[:worst]
+    return out
 
 
 def main():
@@ -511,6 +536,10 @@ def main():
                     help="override --ft-pad-tb for the BOTTOM edge only")
     ap.add_argument("--ft-tilt", type=float, default=0.02)
     ap.add_argument("--load-recognizer-ft", type=str, default=None)
+    ap.add_argument("--worst", type=int, default=0,
+                    help="include the N worst matched lines (per-line CER, "
+                         "texts, box-edge deltas) in the metrics JSON — "
+                         "residual-error analysis")
     ap.add_argument("--show", type=int, default=0,
                     help="print the first N matched (pred, gt) pairs")
     ap.add_argument("--out", type=str, default=None)
@@ -703,7 +732,14 @@ def main():
         from ocrfa_tpu.detector_db import DBNetDetector
 
         ocr.detect_network = "dbnet18"
-        ocr.detector = DBNetDetector(det_params)
+        # serve with the impl the detector was TRAINED with (a bounded-
+        # native checkpoint served through gather is the same train/serve
+        # mismatch the bounded rows measure in reverse — r4's bounded-
+        # native eval read e2e 0.93 because of exactly this); the guard
+        # stays on, so an unsafe checkpoint still falls back loudly
+        trained_impl = (blob_meta.get("dcn_impl", "gather")
+                        if args.load_craft else args.dcn_impl)
+        ocr.detector = DBNetDetector(det_params, dcn_impl=trained_impl)
     ocr.converter = conv
 
     def run_eval(rp, show=0):
@@ -722,10 +758,15 @@ def main():
         # ground truth for recognition is LOGICAL order — readtext applies
         # get_display (visual -> logical, ocr.py:482-486) before returning
         det = score_boxes(det_boxes, heldout_lines)
-        rec = score_pages(results_per_page, records, show=show)
+        rec = score_pages(results_per_page, records, show=show,
+                          worst=args.worst)
         return det, rec, wall
 
     det, rec, wall = run_eval(recog_params, show=args.show)
+    served_impl_info = None
+    if args.detector == "dbnet":
+        served_impl_info = {"requested": trained_impl,
+                            "after_guard": ocr.detector.dcn_impl}
     rec_ft = None
     if ft is not None:
         _det2, rec_ft, _w2 = run_eval(ft, show=args.show)
@@ -751,6 +792,8 @@ def main():
         "recognition": rec,
         "readtext_wall_s_per_page": round(wall / max(len(heldout), 1), 3),
     }
+    if served_impl_info is not None:
+        metrics["served_dcn_impl"] = served_impl_info
     if rec_ft is not None:
         metrics["recognition_finetuned"] = rec_ft
         metrics["finetune_steps"] = args.finetune_steps
