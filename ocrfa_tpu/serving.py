@@ -70,6 +70,16 @@ def _round32(x: int) -> int:
     return -(-x // 32) * 32
 
 
+class _Immediate:
+    """Future-alike for the overlap=False path of process_waves."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
+
+
 class ServingPipeline:
     """Full-page OCR over a page stream with device-resident staging."""
 
@@ -109,8 +119,13 @@ class ServingPipeline:
         self.page_wire = page_wire
         self.recognizer = recognizer
         # per-stage wall-second accumulators (host-blocking sections only;
-        # SERVE_CORPUS_r4's 12 pages/s had no breakdown — never again)
+        # SERVE_CORPUS_r4's 12 pages/s had no breakdown — never again).
+        # With the wave pipeline's dispatch thread, stages OVERLAP: the
+        # per-stage sums can exceed the stream's wall time.
+        import threading
+
         self.stage_seconds = defaultdict(float)
+        self._stage_lock = threading.Lock()
         self.page_pipe = DevicePagePipeline(recognizer, use_pallas=use_pallas)
         self.canvas_size = canvas_size
         self.text_threshold = text_threshold
@@ -299,7 +314,9 @@ class ServingPipeline:
         try:
             yield
         finally:
-            self.stage_seconds[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._stage_lock:
+                self.stage_seconds[name] += dt
 
     def _boxes_from_seeds(self, seeds_np, geom):
         """Downloaded detection seeds (host arrays) -> page-space boxes."""
@@ -457,31 +474,50 @@ class ServingPipeline:
     def finish_wave(self, handle):
         return self.collect_wave(self.dispatch_wave(handle))
 
-    def process_waves(self, pages, wave: int = 16, depth: int = 2):
+    def process_waves(self, pages, wave: int = 16, depth: int = 2,
+                      overlap: bool = True):
         """Stream pages through the wave pipeline; yields per-page results.
 
         ``depth`` waves of detection stay in flight ahead of the
         seed-fetch/recognition stage, and one recognition wave stays in
         flight behind it, so detector compute, relay transfers, and host
-        geometry overlap."""
+        geometry overlap.
+
+        ``overlap`` (default): :meth:`dispatch_wave` (seed download + host
+        box geometry + recognition dispatch) runs on ONE worker thread so
+        it overlaps the main thread's page packing/uploads and payload
+        collection — the seed np.asarray releases the GIL during the relay
+        transfer and the geometry is numpy/scipy C under the hood, so the
+        two threads genuinely interleave (these two stages were ~80% of
+        the serial wave wall).  Wave ORDER is preserved (single worker,
+        FIFO queues)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         det_q, rec_q = [], []
         buf = []
+        pool = ThreadPoolExecutor(1) if overlap else None
+        dispatch = (pool.submit if overlap
+                    else lambda fn, h: _Immediate(fn(h)))
 
-        def pump():
-            while det_q and len(det_q) >= depth:
-                rec_q.append(self.dispatch_wave(det_q.pop(0)))
-                while len(rec_q) > 1:
-                    yield from self.collect_wave(rec_q.pop(0))
+        try:
+            def pump():
+                while det_q and len(det_q) >= depth:
+                    rec_q.append(dispatch(self.dispatch_wave, det_q.pop(0)))
+                    while len(rec_q) > 1:
+                        yield from self.collect_wave(rec_q.pop(0).result())
 
-        for page in pages:
-            buf.append(page)
-            if len(buf) >= wave:
+            for page in pages:
+                buf.append(page)
+                if len(buf) >= wave:
+                    det_q.append(self.submit_wave(buf))
+                    buf = []
+                    yield from pump()
+            if buf:
                 det_q.append(self.submit_wave(buf))
-                buf = []
-                yield from pump()
-        if buf:
-            det_q.append(self.submit_wave(buf))
-        while det_q:
-            rec_q.append(self.dispatch_wave(det_q.pop(0)))
-        while rec_q:
-            yield from self.collect_wave(rec_q.pop(0))
+            while det_q:
+                rec_q.append(dispatch(self.dispatch_wave, det_q.pop(0)))
+            while rec_q:
+                yield from self.collect_wave(rec_q.pop(0).result())
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)

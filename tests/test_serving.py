@@ -62,6 +62,15 @@ class TestServingPipeline:
                 assert ta == tb
                 assert abs(ca - cb) < 5e-3  # f32 vs page-stack gather order
 
+    def test_wave_overlap_matches_serial(self, pipeline):
+        pages = [synthetic_page(i + 20) for i in range(5)]
+        ser = list(pipeline.process_waves(iter(pages), wave=2, depth=1,
+                                          overlap=False))
+        par = list(pipeline.process_waves(iter(pages), wave=2, depth=1,
+                                          overlap=True))
+        assert [[t for _, t, _ in p] for p in ser] == \
+               [[t for _, t, _ in p] for p in par]
+
     def test_wave_with_empty_pages(self, pipeline):
         pages = [np.full((96, 128), 255, dtype=np.uint8),
                  synthetic_page(1),
