@@ -47,6 +47,16 @@ def main(argv=None):
                          "(data.ShapedFarsiLines) instead of glyph stamps")
     ap.add_argument("--font-mix", action="store_true",
                     help="with --realfont: per-line DejaVu Sans/Bold mix")
+    ap.add_argument("--ft-pad-tb", default="4,9",
+                    help="with --det-augment: symmetric top/bottom pad "
+                         "range (px). Use the = form for negative values")
+    ap.add_argument("--ft-pad-lr", default="0,8")
+    ap.add_argument("--ft-pad-top", default=None,
+                    help="asymmetric override of the TOP pad range "
+                         "(measured DBNet crops clip above the line; "
+                         "diag r4: top p5..p95 = -4..+4)")
+    ap.add_argument("--ft-pad-bot", default=None)
+    ap.add_argument("--ft-tilt", type=float, default=0.02)
     ap.add_argument("--det-augment", action="store_true",
                     help="with --realfont: train THROUGH the production "
                          "detection-crop transform (margins/tilt/4-pt warp "
@@ -116,7 +126,16 @@ def main(argv=None):
             sys.path.insert(0, str(REPO / "scripts"))
             from eval_selftrained import det_crop_augment
 
-            augment = det_crop_augment
+            def _rng(v):
+                return tuple(int(x) for x in v.split(",")) if v else None
+
+            pad_tb, pad_lr = _rng(args.ft_pad_tb), _rng(args.ft_pad_lr)
+            pad_top, pad_bot = _rng(args.ft_pad_top), _rng(args.ft_pad_bot)
+
+            def augment(crop, r):
+                return det_crop_augment(crop, r, pad_tb=pad_tb,
+                                        pad_lr=pad_lr, tilt=args.ft_tilt,
+                                        pad_top=pad_top, pad_bot=pad_bot)
         data = ShapedFarsiLines(charset, batch_size=args.batch,
                                 width=args.width, max_len=args.max_len,
                                 seed=0, font_mix=args.font_mix,
