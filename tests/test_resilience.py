@@ -146,6 +146,66 @@ class TestAwaitRelaySupervisor:
         assert mod.main() == 1
 
 
+class TestBenchSupervisor:
+    """bench.py's relay-flap shielding (supervise()): a relay-down start
+    degrades to a late measurement, never a lost artifact (BENCH_r04)."""
+
+    @staticmethod
+    def _load():
+        import importlib.util
+        from pathlib import Path
+
+        path = Path(__file__).parent.parent / "bench.py"
+        spec = importlib.util.spec_from_file_location("bench_mod", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_retries_error_child_then_forwards_valid_json(self, monkeypatch,
+                                                          capsys):
+        mod = self._load()
+        # relay: one down probe, then stable forever
+        seq = iter([False] + [True] * 50)
+        monkeypatch.setattr(mod, "_relay_up", lambda *a, **k: next(seq))
+        monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+        runs = {"n": 0}
+
+        class R:
+            def __init__(self, rc, out):
+                self.returncode, self.stdout, self.stderr = rc, out, ""
+
+        def fake_run(cmd, **kw):
+            runs["n"] += 1
+            if runs["n"] == 1:  # child saw the relay die mid-measurement
+                return R(3, '{"value": 0.0, "error": "backend unreachable"}')
+            return R(0, 'warmup noise\n{"metric": "m", "value": 42.0}')
+
+        monkeypatch.setattr(mod.subprocess, "run", fake_run)
+        assert mod.supervise() == 0
+        assert runs["n"] == 2
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        import json as _json
+
+        assert _json.loads(out)["value"] == 42.0
+
+    def test_emits_error_json_when_horizon_expires(self, monkeypatch,
+                                                   capsys):
+        mod = self._load()
+        monkeypatch.setattr(mod, "_relay_up", lambda *a, **k: False)
+        t = {"now": 0.0}
+        monkeypatch.setattr(mod.time, "time", lambda: t["now"])
+
+        def advance(s):
+            t["now"] += max(s, 1.0)
+
+        monkeypatch.setattr(mod.time, "sleep", advance)
+        assert mod.supervise() == 1
+        import json as _json
+
+        parsed = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert parsed["value"] == 0.0 and "error" in parsed
+
+
 class TestCheckpointManager:
     def test_save_restore_gc(self, tmp_path):
         import jax
