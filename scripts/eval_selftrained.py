@@ -408,9 +408,18 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
     """
     from ocrfa_tpu.eval import levenshtein
 
+    # Arabic<->Farsi variant pairs that DejaVu renders (near-)identically
+    # in initial/medial position: confusions between them are rendering
+    # ambiguity shared with the reference model family, not a recognition
+    # defect (r5 worst-lines: ~half the residual DBNet-arm errors are
+    # these). CER is reported both raw and variant-folded to separate the
+    # irreducible floor from real errors.
+    _FOLD = str.maketrans({"ي": "ی", "ى": "ی", "ك": "ک"})
+
     n_gt = n_pred = n_match = 0
     edit_sum = gt_len = ins_len = 0
     matched_edit = matched_gt_len = 0
+    folded_edit_sum = folded_matched_edit = 0
     exact = 0
     details = []
     for page_i, (results, records) in enumerate(
@@ -434,6 +443,7 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
                     best_j, best_iou = j, iou
             if best_j < 0:
                 edit_sum += len(text)  # missed line: full deletion cost
+                folded_edit_sum += len(text)
                 continue
             used.add(best_j)
             n_match += 1
@@ -441,8 +451,12 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
                 print(f"  match iou={best_iou:.2f} pred={preds[best_j][1]!r} "
                       f"gt={text!r}", flush=True)
             d = levenshtein(preds[best_j][1], text)
+            df = levenshtein(preds[best_j][1].translate(_FOLD),
+                             text.translate(_FOLD))
             edit_sum += d
+            folded_edit_sum += df
             matched_edit += d
+            folded_matched_edit += df
             matched_gt_len += len(text)
             exact += int(d == 0)
             if worst and d:
@@ -461,13 +475,18 @@ def score_pages(results_per_page, records_per_page, iou_threshold=0.5,
         for j, (_pb, pt) in enumerate(preds):
             if j not in used:
                 ins_len += len(pt)  # spurious detection: insertion cost
+    folded_edit_sum += ins_len
     edit_sum += ins_len
     out = {
         "detection_recall": round(n_match / max(n_gt, 1), 4),
         "detection_precision": round(n_match / max(n_pred, 1), 4),
         "matched_line_cer": round(matched_edit / max(matched_gt_len, 1), 6),
+        "matched_line_cer_variant_folded": round(
+            folded_matched_edit / max(matched_gt_len, 1), 6),
         "matched_exact": round(exact / max(n_match, 1), 4),
         "e2e_cer": round(edit_sum / max(gt_len, 1), 6),
+        "e2e_cer_variant_folded": round(
+            folded_edit_sum / max(gt_len, 1), 6),
         "gt_lines": n_gt,
         "pred_lines": n_pred,
         "matched_lines": n_match,
