@@ -53,8 +53,8 @@ def main():
     ap.add_argument("--page-size", type=int, default=512)
     ap.add_argument("--page-wire", default="u4")
     ap.add_argument("--detector", default="blobs/craft_arm_r3.pkl")
-    ap.add_argument("--recognizer", default="blobs/gen1t384_shaped.pkl")
-    ap.add_argument("--recognizer-ft", default="blobs/gen1t384_ft_r3.pkl")
+    ap.add_argument("--recognizer", default="blobs/gen1t384_seed7_r5.pkl")
+    ap.add_argument("--recognizer-ft", default="blobs/gen1t384_s7_ft_r5.pkl")
     ap.add_argument("--quantized", default="static",
                     help='recognizer tower numerics: "static" (int8 '
                          'serving path), "dynamic", or "" (bf16/f32)')
