@@ -59,6 +59,51 @@ def get_det_boxes_core(textmap, linkmap, text_threshold, link_threshold, low_tex
         text_threshold=text_threshold)
 
 
+def _dilated_extreme_pts(comp, k_size, x0, y0):
+    """Per-row (min x, max x) extreme points of ``comp`` dilated by a
+    ``k_size``-square rect kernel, in global ``(x, y)`` coordinates.
+
+    Exactly replicates the windowed ``maximum_filter(size=k_size)``
+    dilation for components whose dilation window is NOT clipped by an
+    image border (the window margin then guarantees no boundary-mode
+    interaction): a k-size max filter lets input row/col ``j`` reach
+    outputs ``[j - (k-1)//2, j + k//2]``, so the dilated occupancy of an
+    output row is the union of the input rows in that vertical window
+    (a 1-D min/max filter over the per-row extremes), and the dilated
+    x extremes extend by the same horizontal reach.
+    """
+    occ = comp.any(axis=1)
+    rr = np.flatnonzero(occ)
+    n_rows = comp.shape[0]
+    rowmin = np.full(n_rows, np.inf)
+    rowmax = np.full(n_rows, -np.inf)
+    rowmin[rr] = comp.argmax(axis=1)[rr]
+    rowmax[rr] = comp.shape[1] - 1 - comp[:, ::-1].argmax(axis=1)[rr]
+    ext_l, ext_r = (k_size - 1) // 2, k_size // 2
+    if k_size > 1:
+        # vertical window min/max as k shifted elementwise passes over the
+        # tiny per-row arrays (rows ≈ line height; cheaper than filter1d's
+        # per-call setup).  Input row j reaches output rows [j-ext_l,
+        # j+ext_r]; in the 0-based output frame that is [j, j+k-1].
+        n_out = n_rows + ext_l + ext_r
+        vmin = np.full(n_out, np.inf)
+        vmax = np.full(n_out, -np.inf)
+        for s in range(k_size):
+            np.minimum(vmin[s:s + n_rows], rowmin, out=vmin[s:s + n_rows])
+            np.maximum(vmax[s:s + n_rows], rowmax, out=vmax[s:s + n_rows])
+        row_off = -ext_l
+    else:
+        vmin, vmax = rowmin, rowmax
+        row_off = 0
+    dr = np.flatnonzero(vmax > -np.inf)
+    m = dr.size
+    pts = np.empty((2 * m, 2), dtype=np.int64)
+    pts[:m, 0] = vmin[dr] - ext_l + x0
+    pts[m:, 0] = vmax[dr] + ext_r + x0
+    pts[:m, 1] = pts[m:, 1] = dr + row_off + y0
+    return pts
+
+
 def get_det_boxes_from_masks(text_score_comb, link_only, text_over,
                              textmap=None, linkmap=None, text_threshold=None):
     """Component loop over precomputed threshold masks.
@@ -97,12 +142,6 @@ def get_det_boxes_from_masks(text_score_comb, link_only, text_over,
         sx, ex = max(x - niter, 0), min(x + w + niter + 1, img_w)
         sy, ey = max(y - niter, 0), min(y + h + niter + 1, img_h)
 
-        # component + link-removal inside the dilation window only — all
-        # nonzero pixels of the reference's full-canvas segmap live here
-        win = (slice(sy, ey), slice(sx, ex))
-        segwin = np.zeros((ey - sy, ex - sx), dtype=np.uint8)
-        segwin[sl[0].start - sy:sl[0].stop - sy,
-               sl[1].start - sx:sl[1].stop - sx][local] = 255
         if estimate_num_chars:
             character_locs = (
                 (textmap[sl] - linkmap[sl]) * local
@@ -111,24 +150,49 @@ def get_det_boxes_from_masks(text_score_comb, link_only, text_over,
             mapper.append(n_chars)
         else:
             mapper.append(k)
-        segwin[link_only[win]] = 0  # remove link-only area
 
-        # rect-kernel dilation == max filter (same anchor math as cv2.dilate)
         k_size = 1 + niter
-        segwin = maximum_filter(segwin, size=k_size)
-
-        # min-area rect over the component pixels in (x, y) order
-        ys2, xs2 = np.where(segwin != 0)
-        np_contours = np.stack([xs2 + sx, ys2 + sy], axis=1)
-        box, (bw, bh) = _min_area_rect(np_contours)
+        unclipped = (x - niter >= 0 and y - niter >= 0
+                     and x + w + niter + 1 <= img_w
+                     and y + h + niter + 1 <= img_h)
+        # Only the per-row x extremes of the dilated component feed the
+        # rect solver: every convex-hull vertex is a row extreme (an
+        # interior-of-row point is a convex combination of its row's two
+        # extremes) and the monotone chain pops collinear points, so the
+        # hull — and the rect — are EXACTLY those of the full pixel set,
+        # at ~2 points/row instead of the whole dilated component (the
+        # np.where + full-set hull sort dominated the corpus
+        # host-geometry stage, ~0.5 ms/box).
+        if unclipped:
+            pts = _dilated_extreme_pts(local & ~link_only[sl], k_size,
+                                       sl[1].start, sl[0].start)
+        else:
+            # clipped at an image border: the dilation window interacts
+            # with the max filter's boundary handling — keep the exact
+            # windowed-filter path for these (rare) components
+            win = (slice(sy, ey), slice(sx, ex))
+            segwin = np.zeros((ey - sy, ex - sx), dtype=np.uint8)
+            segwin[sl[0].start - sy:sl[0].stop - sy,
+                   sl[1].start - sx:sl[1].stop - sx][local] = 255
+            segwin[link_only[win]] = 0  # remove link-only area
+            # rect-kernel dilation == max filter (cv2.dilate anchor math)
+            segwin = maximum_filter(segwin, size=k_size)
+            ridx = np.flatnonzero(segwin.any(axis=1))
+            xfirst = segwin.argmax(axis=1)[ridx]
+            xlast = segwin.shape[1] - 1 - segwin[:, ::-1].argmax(axis=1)[ridx]
+            pts = np.empty((2 * ridx.size, 2), dtype=np.int64)
+            pts[:ridx.size, 0] = xfirst + sx
+            pts[ridx.size:, 0] = xlast + sx
+            pts[:ridx.size, 1] = pts[ridx.size:, 1] = ridx + sy
+        box, (bw, bh) = _min_area_rect(pts)
 
         # align diamond-shape: near-square boxes snap to axis-aligned
         w_box = np.linalg.norm(box[0] - box[1])
         h_box = np.linalg.norm(box[1] - box[2])
         box_ratio = max(w_box, h_box) / (min(w_box, h_box) + 1e-5)
         if abs(1 - box_ratio) <= 0.1:
-            l, r = np_contours[:, 0].min(), np_contours[:, 0].max()
-            t, b = np_contours[:, 1].min(), np_contours[:, 1].max()
+            l, r = pts[:, 0].min(), pts[:, 0].max()
+            t, b = pts[:, 1].min(), pts[:, 1].max()
             box = np.array([[l, t], [r, t], [r, b], [l, b]], dtype=np.float32)
 
         # clockwise order starting at min(x+y) corner

@@ -292,3 +292,39 @@ class TestGetPolyCoreGolden:
                 p is not None for p in get_poly_core(boxes, labels, mapper, link)
             )
         assert produced >= 3, f"only {produced} non-None polygons over 10 seeds"
+
+
+class TestDilatedExtremePts:
+    """The fast per-row-extremes dilation must match the 2-D max filter
+    exactly (it replaces it for components whose dilation window is not
+    clipped by an image border)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_matches_2d_max_filter(self, seed):
+        from scipy.ndimage import maximum_filter
+
+        from ocrfa_tpu.geometry.craft_post import _dilated_extreme_pts
+
+        rng = np.random.default_rng(seed)
+        for _ in range(100):
+            h, w = int(rng.integers(1, 25)), int(rng.integers(1, 60))
+            comp = rng.random((h, w)) < 0.4
+            if not comp.any():
+                continue
+            k = int(rng.integers(1, 8))
+            x0, y0 = int(rng.integers(0, 50)), int(rng.integers(0, 50))
+            # ground truth: embed on a margin large enough that boundary
+            # handling cannot matter, 2-D max filter, per-row extremes
+            pad = k + 2
+            canvas = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
+            canvas[pad:pad + h, pad:pad + w][comp] = 255
+            dil = maximum_filter(canvas, size=k)
+            ridx = np.flatnonzero(dil.any(axis=1))
+            xf = dil.argmax(axis=1)[ridx]
+            xl = dil.shape[1] - 1 - dil[:, ::-1].argmax(axis=1)[ridx]
+            want = {(int(a) - pad + x0, int(r) - pad + y0)
+                    for r, a in zip(ridx, xf)}
+            want |= {(int(b) - pad + x0, int(r) - pad + y0)
+                     for r, b in zip(ridx, xl)}
+            got = set(map(tuple, _dilated_extreme_pts(comp, k, x0, y0)))
+            assert got == want, (h, w, k)
