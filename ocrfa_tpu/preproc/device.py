@@ -299,7 +299,7 @@ class DevicePagePipeline:
                 owner.append(pi)
                 page_bucket.append(out_w)
         if not flat:
-            return ([], [len(b) for b in boxes_per_page], owner)
+            return ([], [len(b) for b in boxes_per_page], owner, None)
         boxes = np.asarray(flat, dtype=np.int32)
 
         groups = {}
@@ -315,12 +315,23 @@ class DevicePagePipeline:
             payload = self._fused_pages(
                 self.recognizer.params, pages_dev, jnp.asarray(sel),
                 jnp.asarray(keep_mask), out_w=out_w)
-            try:  # start the d2h transfer early; harmless if unsupported
-                payload.copy_to_host_async()
-            except (AttributeError, NotImplementedError):
-                pass
             dispatches.append((payload, idxs, n))
-        return (dispatches, [len(b) for b in boxes_per_page], owner)
+        # Fuse the wave's per-bucket payloads into ONE device array: every
+        # np.asarray of a device output is a full ~26 ms relay round trip
+        # regardless of size, so a wave spanning K width buckets fetched
+        # per-bucket pays K RTTs — the dominant cost of the corpus
+        # collect stage.  The flatten+concat is an eager device op (one
+        # small compile per distinct bucket-shape combination, which the
+        # corpus page pool cycles through a handful of times).
+        fused = None
+        if len(dispatches) > 1:
+            fused = jnp.concatenate([d[0].reshape(-1) for d in dispatches])
+        tail = fused if fused is not None else dispatches[0][0]
+        try:  # start the d2h transfer early; harmless if unsupported
+            tail.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+        return (dispatches, [len(b) for b in boxes_per_page], owner, fused)
 
     def collect_boxes_multi(self, handle):
         """Block on :meth:`dispatch_boxes_multi` results; returns per-page
@@ -330,12 +341,22 @@ class DevicePagePipeline:
         from ocrfa_tpu.decode.device import (decode_greedy_batch,
                                              unpack_decode_payload)
 
-        dispatches, counts, owner = handle
+        dispatches, counts, owner, fused = handle
         conv = self.recognizer.converter
         texts_flat = [None] * len(owner)
         confs_flat = [0.0] * len(owner)
-        for payload, idxs, n in dispatches:
-            indices, confs = unpack_decode_payload(np.asarray(payload)[:n])
+        host_payloads = []
+        if fused is not None:
+            buf = np.asarray(fused)  # ONE round trip for the whole wave
+            pos = 0
+            for payload, _idxs, _n in dispatches:
+                sz = int(np.prod(payload.shape))
+                host_payloads.append(buf[pos:pos + sz].reshape(payload.shape))
+                pos += sz
+        else:
+            host_payloads = [np.asarray(p) for p, _i, _n in dispatches]
+        for (payload, idxs, n), host in zip(dispatches, host_payloads):
+            indices, confs = unpack_decode_payload(host[:n])
             texts = decode_greedy_batch(indices, conv.character,
                                         conv.ignore_idx)
             for j, gi in enumerate(idxs):
